@@ -1,0 +1,136 @@
+"""Forward kinematics and frame Jacobians (pure JAX, static shapes).
+
+Replaces Pinocchio FK / getFrameJacobian(LOCAL_WORLD_ALIGNED) /
+getFrameJacobianTimeVariation as used by the reference WBC and OCP
+(bipedal_wbc/src/WbcBase.cpp:79-133, ocs2_bipedal_robot end-effector
+kinematics).  The tree is small (<= ~20 moving bodies), so traversal is an
+unrolled Python loop at trace time — XLA sees a flat static graph.
+
+Jacobian convention: rows = [linear(3); angular(3)], world-aligned axes,
+taken at the frame origin ("LOCAL_WORLD_ALIGNED").  The time-variation
+``frame_jacobian_dot`` is the exact d/dt of that Jacobian along (q, v)
+via ``jax.jvp``, so ``a_classical = J @ vdot + Jdot @ v`` holds for the
+classical point acceleration — this is the self-consistent TPU-native
+replacement for Pinocchio's frame-Jacobian time variation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.rotations import euler_rate_map_zyx, rotmat_from_zyx, skew
+from .robot_model import RobotModel
+from .urdf import JOINT_PRISMATIC, JOINT_REVOLUTE
+
+
+class BodyKin(NamedTuple):
+    """World placement of every body frame, plus base Euler-rate map."""
+
+    R: jnp.ndarray  # (nb,3,3)
+    p: jnp.ndarray  # (nb,3)
+    E: jnp.ndarray  # (3,3) world angular velocity = E @ theta_dot
+
+
+def _joint_motion(jtype: int, axis, q_i):
+    """Rotation matrix and translation of the joint motion."""
+    if jtype == JOINT_REVOLUTE:
+        c, s = jnp.cos(q_i), jnp.sin(q_i)
+        K = skew(axis)
+        R = jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+        return R, jnp.zeros(3)
+    elif jtype == JOINT_PRISMATIC:
+        return jnp.eye(3), axis * q_i
+    raise ValueError(f"bad joint type {jtype}")
+
+
+def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> BodyKin:
+    """World placements of all body frames for configuration q (nq,)."""
+    theta = q[3:6]
+    R_list = [rotmat_from_zyx(theta)]
+    p_list = [q[0:3]]
+    for j in range(model.nj):
+        parent = model.joint_parent_body[j]
+        R_off = model.joint_offset_R[j]
+        p_off = model.joint_offset_p[j]
+        R_m, p_m = _joint_motion(model.joint_type[j], model.joint_axis[j], q[6 + j])
+        R_parent, p_parent = R_list[parent], p_list[parent]
+        R_joint = R_parent @ R_off
+        p_joint = p_parent + R_parent @ p_off
+        R_list.append(R_joint @ R_m)
+        p_list.append(p_joint + R_joint @ p_m)
+    return BodyKin(R=jnp.stack(R_list), p=jnp.stack(p_list), E=euler_rate_map_zyx(theta))
+
+
+def frame_transform(model: RobotModel, kin: BodyKin, frame_id: int):
+    b = model.frame_body[frame_id]
+    R = kin.R[b] @ model.frame_R[frame_id]
+    p = kin.p[b] + kin.R[b] @ model.frame_p[frame_id]
+    return R, p
+
+
+def frame_position(model: RobotModel, kin: BodyKin, frame_id: int):
+    return frame_transform(model, kin, frame_id)[1]
+
+
+def _joint_world_axes(model: RobotModel, kin: BodyKin):
+    """(nj,3) world axis and (nj,3) world anchor point of each moving joint."""
+    axes = jnp.einsum("bij,bj->bi", kin.R[1:], model.joint_axis)
+    anchors = kin.p[1:]
+    return axes, anchors
+
+
+def point_jacobian(model: RobotModel, kin: BodyKin, body_idx: int, p_world):
+    """6 x nv world-aligned Jacobian of the point ``p_world`` rigidly attached
+    to body ``body_idx`` (body_idx static)."""
+    nv = model.nv
+    anc = model.ancestor_mask()[body_idx]  # static numpy bool (nj,)
+    axes, anchors = _joint_world_axes(model, kin)
+
+    Jv = jnp.zeros((3, nv))
+    Jw = jnp.zeros((3, nv))
+    # base translation
+    Jv = Jv.at[:, 0:3].set(jnp.eye(3))
+    # base orientation (Euler-rate columns)
+    r = p_world - kin.p[0]
+    Jv = Jv.at[:, 3:6].set(-skew(r) @ kin.E)
+    Jw = Jw.at[:, 3:6].set(kin.E)
+    # joints (masked by static ancestry; loop unrolled at trace time)
+    for j in range(model.nj):
+        if not anc[j]:
+            continue
+        if model.joint_type[j] == JOINT_REVOLUTE:
+            Jv = Jv.at[:, 6 + j].set(jnp.cross(axes[j], p_world - anchors[j]))
+            Jw = Jw.at[:, 6 + j].set(axes[j])
+        else:  # prismatic
+            Jv = Jv.at[:, 6 + j].set(axes[j])
+    return jnp.concatenate([Jv, Jw], axis=0)
+
+
+def frame_jacobian(model: RobotModel, q, frame_id: int):
+    """6 x nv LOCAL_WORLD_ALIGNED Jacobian of a named frame."""
+    kin = forward_kinematics(model, q)
+    _, p = frame_transform(model, kin, frame_id)
+    return point_jacobian(model, kin, model.frame_body[frame_id], p)
+
+
+def frame_jacobian_dot(model: RobotModel, q, v, frame_id: int):
+    """Exact time derivative of :func:`frame_jacobian` along (q, v)."""
+    _, jdot = jax.jvp(lambda qq: frame_jacobian(model, qq, frame_id), (q,), (v,))
+    return jdot
+
+
+def frame_velocity(model: RobotModel, q, v, frame_id: int):
+    """World linear+angular velocity (6,) of a frame."""
+    return frame_jacobian(model, q, frame_id) @ v
+
+
+def com_position(model: RobotModel, kin: BodyKin):
+    """Whole-robot com in world frame."""
+    coms = kin.p + jnp.einsum("bij,bj->bi", kin.R, model.body_com)
+    return jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
+
+
+def body_com_positions(model: RobotModel, kin: BodyKin):
+    return kin.p + jnp.einsum("bij,bj->bi", kin.R, model.body_com)

@@ -1,0 +1,236 @@
+"""Optimal-control-problem assembly: node references, costs, masked constraints.
+
+TPU-native re-expression of the reference OCP
+(ocs2_bipedal_robot/src/BipedalRobotInterface.cpp:114-204 and the constraint
+classes under src/constraint/): the reference activates/deactivates
+constraints per mode via virtual ``isActive(t)``; here every node carries a
+**static-shape** residual vector with rows masked by the contact flags, so the
+whole horizon linearizes under one ``vmap`` and thousands of scenarios batch.
+
+Equality-residual layout per node (nc = 4 contacts -> 16 rows):
+  rows 3i..3i+2  : stance_i ? foot velocity (+ z position-error gain)  : F_i
+                   (ZeroVelocityConstraintCppAd / ZeroForceConstraint — these
+                   two are complementary per contact, so one 3-row slot each)
+  rows 12+i      : swing_i ? v_ee_z - vref_i + gain (p_ee_z - zref_i) : 0
+                   (NormalVelocityConstraintCppAd + PreComputation configs)
+
+Inequality (soft, relaxed log-barrier in the cost): friction cone per stance
+contact, h = mu Fz - sqrt(Fx^2 + Fy^2 + eps) >= 0 (FrictionConeConstraint.cpp).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..model.centroidal import (
+    CentroidalModelInfo,
+    centroidal_flow_map,
+    get_contact_forces,
+    get_generalized_coordinates,
+    generalized_velocity_from_state_input,
+)
+from ..model.kinematics import forward_kinematics, frame_position, point_jacobian
+from ..model.robot_model import RobotModel
+
+NUM_CONTACTS = 4
+NUM_EQ = 3 * NUM_CONTACTS + NUM_CONTACTS  # 16
+
+
+@dataclasses.dataclass(frozen=True)
+class OcpSettings:
+    """Solver-relevant knobs mirroring task.info (sqp / frictionCone blocks)."""
+
+    dt: float = 0.015
+    horizon: float = 1.0
+    sqp_iterations: int = 1
+    friction_coefficient: float = 0.5  # frictionConeSoftConstraint.frictionCoefficient
+    barrier_mu: float = 0.1  # relaxed barrier mu
+    barrier_delta: float = 5.0  # relaxed barrier delta
+    cone_regularization: float = 1e-3  # FrictionConeConstraint::Config::regularization
+    gripper_force: float = 0.0
+    position_error_gain: float = 0.0  # model_settings.positionErrorGain
+    integrator: str = "rk2"  # euler | rk2 | rk4
+
+    @property
+    def num_intervals(self) -> int:
+        return max(1, round(self.horizon / self.dt))
+
+
+class NodeRefs(NamedTuple):
+    """Per-node reference data (leading axis = node when stacked)."""
+
+    t: jnp.ndarray  # ()
+    dt: jnp.ndarray  # () interval length to the next node
+    contact_flags: jnp.ndarray  # (4,) float 0/1
+    swing_vref: jnp.ndarray  # (4,) z-velocity reference
+    swing_pref: jnp.ndarray  # (4,) z-position reference
+    x_nom: jnp.ndarray  # (nx,)
+    u_nom: jnp.ndarray  # (nu,)
+
+
+def weight_compensating_input(info: CentroidalModelInfo, contact_flags, nu: int):
+    """Gravity equally split over stance feet, zero joint velocity
+    (common/utils.h:63-76). Differentiable in the flags mask."""
+    num_stance = jnp.sum(contact_flags)
+    fz = info.robot_mass * 9.81 / jnp.maximum(num_stance, 1.0)
+    forces = jnp.zeros((NUM_CONTACTS, 3)).at[:, 2].set(fz * contact_flags)
+    return jnp.zeros(nu).at[: 3 * NUM_CONTACTS].set(forces.reshape(-1))
+
+
+def make_node_refs(info: CentroidalModelInfo, gait_table, swing_table, target_table, t, dt):
+    """Build one node's references from frozen device tables (vmap over t)."""
+    phase = gait_table.phase_index(t)
+    flags = gait_table.contacts[phase]
+    contacts = jnp.arange(NUM_CONTACTS)
+    vref = jnp.stack([swing_table.z_velocity(c, phase, t) for c in range(NUM_CONTACTS)])
+    pref = jnp.stack([swing_table.z_position(c, phase, t) for c in range(NUM_CONTACTS)])
+    del contacts
+    x_nom = target_table.state_at(t)
+    u_nom = weight_compensating_input(info, flags, info.input_dim)
+    return NodeRefs(
+        t=t, dt=dt, contact_flags=flags, swing_vref=vref, swing_pref=pref, x_nom=x_nom, u_nom=u_nom
+    )
+
+
+# ---------------------------------------------------------------- constraints
+def contact_kinematics(model: RobotModel, info: CentroidalModelInfo, x, u):
+    """(positions (nc,3), velocities (nc,3)) of the contact frames under the
+    centroidal mapping (end-effector kinematics of the constraints)."""
+    q = get_generalized_coordinates(x)
+    v = generalized_velocity_from_state_input(model, info, x, u)
+    kin = forward_kinematics(model, q)
+    ps, vs = [], []
+    for fid in info.contact_frame_ids:
+        p = frame_position(model, kin, fid)
+        J = point_jacobian(model, kin, model.frame_body[fid], p)
+        ps.append(p)
+        vs.append(J[:3] @ v)
+    return jnp.stack(ps), jnp.stack(vs)
+
+
+def equality_residual(model: RobotModel, info: CentroidalModelInfo, settings: OcpSettings, x, u, refs: NodeRefs):
+    """(16,) masked equality constraint residual (see module docstring)."""
+    p_ee, v_ee = contact_kinematics(model, info, x, u)
+    forces = get_contact_forces(u, info)  # (nc,3)
+    gain = settings.position_error_gain
+    flags = refs.contact_flags  # (nc,)
+    # stance rows: v_ee (+ gain on z); swing rows: F = 0
+    zero_vel = v_ee + gain * jnp.concatenate(
+        [jnp.zeros((NUM_CONTACTS, 2)), p_ee[:, 2:3]], axis=1
+    )
+    per_contact = flags[:, None] * zero_vel + (1.0 - flags[:, None]) * forces
+    # normal-velocity rows for swing feet
+    nvel = (1.0 - flags) * (v_ee[:, 2] - refs.swing_vref + gain * (p_ee[:, 2] - refs.swing_pref))
+    return jnp.concatenate([per_contact.reshape(-1), nvel])
+
+
+def friction_cone_values(settings: OcpSettings, u, info: CentroidalModelInfo):
+    """(nc,) cone constraint h_i >= 0 with the reference's sqrt regularization
+    (FrictionConeConstraint::coneConstraint; world frame == local frame since
+    t_R_w is identity on flat ground)."""
+    forces = get_contact_forces(u, info)
+    f_tangent = jnp.sqrt(
+        forces[:, 0] ** 2 + forces[:, 1] ** 2 + settings.cone_regularization
+    )
+    return settings.friction_coefficient * (forces[:, 2] + settings.gripper_force) - f_tangent
+
+
+def relaxed_barrier(h, mu, delta):
+    """OCS2 RelaxedBarrierPenalty: -mu ln(h) for h > delta, quadratic extension
+    below (keeps the penalty defined for infeasible iterates)."""
+    safe_h = jnp.maximum(h, delta)
+    log_part = -mu * jnp.log(safe_h)
+    quad_part = mu * (-jnp.log(delta) + 0.5 * ((h - 2.0 * delta) / delta) ** 2 - 0.5)
+    return jnp.where(h > delta, log_part, quad_part)
+
+
+def node_cost(model: RobotModel, info: CentroidalModelInfo, settings: OcpSettings, Q, R, x, u, refs: NodeRefs):
+    """Intermediate cost L(x,u) (not yet dt-scaled): quadratic tracking
+    (BipedalRobotQuadraticTrackingCost.h:50-58) + soft friction cones."""
+    dx = x - refs.x_nom
+    du = u - refs.u_nom
+    quad = 0.5 * dx @ Q @ dx + 0.5 * du @ R @ du
+    cones = friction_cone_values(settings, u, info)
+    pen = relaxed_barrier(cones, settings.barrier_mu, settings.barrier_delta)
+    return quad + jnp.sum(refs.contact_flags * pen)
+
+
+# ---------------------------------------------------------------- dynamics
+def discrete_dynamics(model: RobotModel, info: CentroidalModelInfo, settings: OcpSettings, x, u, dt):
+    """One shooting interval of the centroidal flow under a fixed-step
+    integrator (TimeTriggeredRollout + sqp.integratorType RK2 equivalents;
+    the flow map is autonomous so no time argument)."""
+    f = lambda xx: centroidal_flow_map(model, info, xx, u)
+    if settings.integrator == "euler":
+        return x + dt * f(x)
+    if settings.integrator == "rk2":
+        k1 = f(x)
+        k2 = f(x + 0.5 * dt * k1)
+        return x + dt * k2
+    if settings.integrator == "rk4":
+        k1 = f(x)
+        k2 = f(x + 0.5 * dt * k1)
+        k3 = f(x + 0.5 * dt * k2)
+        k4 = f(x + dt * k3)
+        return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+    raise ValueError(settings.integrator)
+
+
+class LinearizedNode(NamedTuple):
+    """Quadratic/linear approximations at one shooting node."""
+
+    A: jnp.ndarray  # (nx,nx) d F / d x
+    B: jnp.ndarray  # (nx,nu)
+    c: jnp.ndarray  # (nx,) defect F(x_k,u_k) - x_{k+1}
+    C: jnp.ndarray  # (ne,nx) equality jacobian
+    D: jnp.ndarray  # (ne,nu)
+    e: jnp.ndarray  # (ne,) residual
+    Qxx: jnp.ndarray  # (nx,nx) dt-scaled cost hessian
+    Quu: jnp.ndarray  # (nu,nu)
+    Qux: jnp.ndarray  # (nu,nx)
+    qx: jnp.ndarray  # (nx,)
+    qu: jnp.ndarray  # (nu,)
+    cost: jnp.ndarray  # () dt-scaled cost value
+
+
+def linearize_node(
+    model: RobotModel, info: CentroidalModelInfo, settings: OcpSettings, Q, R, x, u, x_next, refs: NodeRefs
+):
+    """Full Gauss-Newton data for one node (vmap over the horizon)."""
+    dyn = lambda xx, uu: discrete_dynamics(model, info, settings, xx, uu, refs.dt)
+    F, (A, B) = _value_and_jacobians(dyn, x, u)
+    c = F - x_next
+
+    eq = lambda xx, uu: equality_residual(model, info, settings, xx, uu, refs)
+    e, (C, D) = _value_and_jacobians(eq, x, u)
+
+    cost_fn = lambda xx, uu: refs.dt * node_cost(model, info, settings, Q, R, xx, uu, refs)
+    cost_val = cost_fn(x, u)
+    qx = jax.grad(cost_fn, argnums=0)(x, u)
+    qu = jax.grad(cost_fn, argnums=1)(x, u)
+    # exact Hessian: quadratic part is (Q, R); barrier adds u-u curvature only
+    Qxx = refs.dt * Q
+    Quu = refs.dt * R + _barrier_hessian_u(settings, info, u, refs)
+    Qux = jnp.zeros((u.shape[0], x.shape[0]))
+    return LinearizedNode(A=A, B=B, c=c, C=C, D=D, e=e, Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu, cost=cost_val)
+
+
+def _value_and_jacobians(fn, x, u):
+    val = fn(x, u)
+    Jx = jax.jacfwd(fn, argnums=0)(x, u)
+    Ju = jax.jacfwd(fn, argnums=1)(x, u)
+    return val, (Jx, Ju)
+
+
+def _barrier_hessian_u(settings: OcpSettings, info: CentroidalModelInfo, u, refs: NodeRefs):
+    """dt-scaled exact Hessian of the masked cone barriers w.r.t. u."""
+    pen = lambda uu: refs.dt * jnp.sum(
+        refs.contact_flags
+        * relaxed_barrier(
+            friction_cone_values(settings, uu, info), settings.barrier_mu, settings.barrier_delta
+        )
+    )
+    return jax.hessian(pen)(u)

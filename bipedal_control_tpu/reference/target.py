@@ -1,0 +1,172 @@
+"""Target trajectories and user-command conversions.
+
+Replaces OCS2 ``TargetTrajectories`` + the reference's
+TargetTrajectoriesPublisher conversions
+(bipedal_controllers/src/TargetTrajectoriesPublisher.cpp:40-100): cmd_vel and
+goal-pose commands become 2-waypoint base-pose reference trajectories at the
+configured com height and default joint state.
+
+Device-side, targets are fixed-length padded arrays with linear
+interpolation + clamped extrapolation (TargetTrajectories::getDesiredState).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.rotations import rotmat_from_zyx
+
+
+class TargetTable(NamedTuple):
+    """Padded reference trajectory for device-side interpolation."""
+
+    times: jnp.ndarray  # (T,) padded with +inf
+    states: jnp.ndarray  # (T, nx) padded by repeating the last row
+    inputs: jnp.ndarray  # (T, nu)
+
+    def state_at(self, t):
+        return _interp_rows(self.times, self.states, t)
+
+    def input_at(self, t):
+        return _interp_rows(self.times, self.inputs, t)
+
+
+def _interp_rows(times, rows, t):
+    idx = jnp.clip(jnp.searchsorted(times, t, side="right"), 1, rows.shape[0] - 1)
+    t0, t1 = times[idx - 1], times[idx]
+    denom = jnp.where(t1 > t0, t1 - t0, 1.0)
+    alpha = jnp.clip((t - t0) / denom, 0.0, 1.0)
+    alpha = jnp.where(jnp.isfinite(t1), alpha, 0.0)
+    return rows[idx - 1] * (1.0 - alpha) + rows[idx] * alpha
+
+
+@dataclasses.dataclass
+class TargetTrajectories:
+    """Host-side (mutable) reference trajectory."""
+
+    times: np.ndarray  # (T,)
+    states: np.ndarray  # (T, nx)
+    inputs: np.ndarray  # (T, nu)
+
+    def freeze(self, max_len: int) -> TargetTable:
+        T = len(self.times)
+        if T > max_len:
+            # keep the most recent max_len waypoints
+            times, states, inputs = (
+                self.times[-max_len:],
+                self.states[-max_len:],
+                self.inputs[-max_len:],
+            )
+            T = max_len
+        else:
+            times, states, inputs = self.times, self.states, self.inputs
+        tt = np.full(max_len, np.inf)
+        tt[:T] = times
+        ss = np.repeat(states[-1:], max_len, axis=0)
+        ss[:T] = states
+        uu = np.repeat(inputs[-1:], max_len, axis=0)
+        uu[:T] = inputs
+        return TargetTable(jnp.asarray(tt), jnp.asarray(ss), jnp.asarray(uu))
+
+
+@dataclasses.dataclass(frozen=True)
+class CommandConfig:
+    """reference.info knobs (h1_ocs2_config/config/command/reference.info:1-4)."""
+
+    com_height: float
+    default_joint_state: np.ndarray  # (nj,)
+    target_displacement_velocity: float = 0.5
+    target_rotation_velocity: float = 0.3
+    target_reaching_duration: float = 1.0  # TIME_TO_TARGET for cmd_vel
+
+
+def _target_pose_to_trajectories(
+    target_pose: np.ndarray, observation_time: float, observation_state: np.ndarray,
+    target_reaching_time: float, cfg: CommandConfig, input_dim: int,
+) -> TargetTrajectories:
+    """targetPoseToTargetTrajectories (TargetTrajectoriesPublisher.cpp:40-58)."""
+    nx = len(observation_state)
+    current_pose = observation_state[6:12].copy()
+    current_pose[2] = cfg.com_height
+    current_pose[4] = 0.0  # pitch
+    current_pose[5] = 0.0  # roll
+    s0 = np.zeros(nx)
+    s0[0:6] = 0.0
+    s0[6:12] = current_pose
+    s0[12:] = cfg.default_joint_state
+    s1 = np.zeros(nx)
+    s1[6:12] = target_pose
+    s1[12:] = cfg.default_joint_state
+    return TargetTrajectories(
+        times=np.array([observation_time, target_reaching_time]),
+        states=np.stack([s0, s1]),
+        inputs=np.zeros((2, input_dim)),
+    )
+
+
+def estimate_time_to_target(pose_delta: np.ndarray, cfg: CommandConfig) -> float:
+    """Displacement/rotation limited duration (TargetTrajectoriesPublisher.h:94-103)."""
+    dx, dy = pose_delta[0], pose_delta[1]
+    dyaw = abs(pose_delta[3])
+    displacement = np.hypot(dx, dy)
+    rot_time = dyaw / cfg.target_rotation_velocity
+    disp_time = displacement / cfg.target_displacement_velocity
+    return max(rot_time, disp_time)
+
+
+def goal_to_target_trajectories(
+    goal_pose: np.ndarray, observation_time: float, observation_state: np.ndarray,
+    cfg: CommandConfig, input_dim: int,
+) -> TargetTrajectories:
+    """'/move_base_simple/goal' semantics (goalToTargetTrajectories)."""
+    current_pose = observation_state[6:12]
+    target = np.array(
+        [goal_pose[0], goal_pose[1], cfg.com_height, goal_pose[3], 0.0, 0.0]
+    )
+    reach = observation_time + estimate_time_to_target(target - current_pose, cfg)
+    return _target_pose_to_trajectories(
+        target, observation_time, observation_state, reach, cfg, input_dim
+    )
+
+
+def cmd_vel_to_target_trajectories(
+    cmd_vel: np.ndarray, observation_time: float, observation_state: np.ndarray,
+    cfg: CommandConfig, input_dim: int,
+) -> TargetTrajectories:
+    """'/cmd_vel' semantics (cmdVelToTargetTrajectories): rotate the commanded
+    body-frame velocity to world, extrapolate the pose over the reaching
+    duration, and pin the velocity reference into the momentum slots."""
+    current_pose = np.asarray(observation_state[6:12])
+    R = np.asarray(rotmat_from_zyx(jnp.asarray(current_pose[3:6])))
+    v_world = R @ np.asarray(cmd_vel[:3])
+    dt = cfg.target_reaching_duration
+    target = np.array(
+        [
+            current_pose[0] + v_world[0] * dt,
+            current_pose[1] + v_world[1] * dt,
+            cfg.com_height,
+            current_pose[3] + cmd_vel[3] * dt,
+            0.0,
+            0.0,
+        ]
+    )
+    traj = _target_pose_to_trajectories(
+        target, observation_time, observation_state, observation_time + dt, cfg, input_dim
+    )
+    traj.states[0][0:3] = v_world
+    traj.states[1][0:3] = v_world
+    return traj
+
+
+def stationary_target(
+    observation_time: float, observation_state: np.ndarray, cfg: CommandConfig, input_dim: int
+) -> TargetTrajectories:
+    """Hold the current xy/yaw at com height with default joints."""
+    pose = observation_state[6:12]
+    target = np.array([pose[0], pose[1], cfg.com_height, pose[3], 0.0, 0.0])
+    return _target_pose_to_trajectories(
+        target, observation_time, observation_state, observation_time + 1.0, cfg, input_dim
+    )
