@@ -1,0 +1,211 @@
+"""Typed robot/task configuration, loadable from OCS2-style .info files.
+
+Users of the reference stack keep their per-robot config sets
+(task.info / reference.info / gait.info, Boost INFO format); this loader reads
+those files directly into a typed :class:`TaskConfig`
+(utils/info_format.py handles the format), replicating the knobs documented in
+SURVEY.md §5.6 knob-for-knob.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ..gait.mode_schedule import MODE_BY_NAME, ModeSchedule, ModeSequenceTemplate
+from ..gait.swing import SwingConfig
+from ..utils import info_format as info
+
+
+@dataclasses.dataclass
+class SqpConfig:
+    dt: float = 0.015
+    sqp_iterations: int = 1
+    use_feedback_policy: bool = True
+    integrator: str = "rk2"
+    inequality_constraint_mu: float = 0.1
+    inequality_constraint_delta: float = 5.0
+
+
+@dataclasses.dataclass
+class MpcConfig:
+    time_horizon: float = 1.0
+    mpc_desired_frequency: float = 50.0
+    mrt_desired_frequency: float = 400.0
+    cold_start: bool = False
+
+
+@dataclasses.dataclass
+class WbcConfig:
+    torque_limits: np.ndarray = None  # per-leg joint limits (nj/2,)
+    friction_coefficient: float = 0.3
+    swing_kp: float = 350.0
+    swing_kd: float = 37.0
+    base_kp: np.ndarray = None  # (6,)
+    base_kd: np.ndarray = None  # (6,)
+    no_contact_motion_tolerance: float = 5.0
+    weight_swing_leg: float = 100.0
+    weight_base_accel: float = 1.0
+    weight_contact_force: float = 0.01
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    """Everything task.info + reference.info + gait.info provide."""
+
+    joint_names: list[str]
+    contact_names: list[str]
+    upper_joint_names: list[str]
+    position_error_gain: float
+    phase_transition_stance_time: float
+    swing: SwingConfig
+    sqp: SqpConfig
+    mpc: MpcConfig
+    initial_state: np.ndarray  # (12 + nj,)
+    Q: np.ndarray  # (nx, nx)
+    R_task: np.ndarray  # (3nc + 3nc, ...) task-space input weights
+    friction_coefficient: float
+    wbc: WbcConfig
+    # reference.info
+    com_height: float = 0.9
+    default_joint_state: np.ndarray = None  # (nj,)
+    default_upper_joint_state: np.ndarray = None
+    target_displacement_velocity: float = 0.5
+    target_rotation_velocity: float = 0.3
+    initial_mode_schedule: ModeSchedule = None
+    default_gait: ModeSequenceTemplate = None
+    # gait.info
+    gait_library: dict[str, ModeSequenceTemplate] = dataclasses.field(default_factory=dict)
+
+    @property
+    def num_joints(self) -> int:
+        return len(self.joint_names)
+
+    @property
+    def state_dim(self) -> int:
+        return 12 + self.num_joints
+
+    @property
+    def input_dim(self) -> int:
+        return 3 * len(self.contact_names) + self.num_joints
+
+
+def _mode_sequence_template(tree: dict, key: str) -> ModeSequenceTemplate:
+    modes = [MODE_BY_NAME[m] for m in info.get_string_list(tree, f"{key}.modeSequence")]
+    times = info.get_scalar_list(tree, f"{key}.switchingTimes")
+    return ModeSequenceTemplate(times, modes)
+
+
+def load_task_config(task_file: str, reference_file: str, gait_file: str | None = None) -> TaskConfig:
+    t = info.load_info(task_file)
+    r = info.load_info(reference_file)
+
+    joint_names = info.get_string_list(t, "model_settings.jointNames")
+    contact_names = info.get_string_list(t, "model_settings.contactNames3DoF")
+    upper_names = info.get_string_list(t, "model_settings.upperJointNames")
+    nj = len(joint_names)
+    nx = 12 + nj
+    nc = len(contact_names)
+
+    swing = SwingConfig(
+        lift_off_velocity=info.get_scalar(t, "swing_trajectory_config.liftOffVelocity", 0.05),
+        touch_down_velocity=info.get_scalar(t, "swing_trajectory_config.touchDownVelocity", 0.0),
+        swing_height=info.get_scalar(t, "swing_trajectory_config.swingHeight", 0.05),
+        touchdown_after_horizon=info.get_scalar(
+            t, "swing_trajectory_config.touchdownAfterHorizon", 0.2
+        ),
+        swing_time_scale=info.get_scalar(t, "swing_trajectory_config.swingTimeScale", 0.15),
+    )
+    sqp = SqpConfig(
+        dt=info.get_scalar(t, "sqp.dt", 0.015),
+        sqp_iterations=int(info.get_scalar(t, "sqp.sqpIteration", 1)),
+        use_feedback_policy=info.get_bool(t, "sqp.useFeedbackPolicy", True),
+        integrator=info.get_string(t, "sqp.integratorType", "RK2").lower(),
+        inequality_constraint_mu=info.get_scalar(t, "sqp.inequalityConstraintMu", 0.1),
+        inequality_constraint_delta=info.get_scalar(t, "sqp.inequalityConstraintDelta", 5.0),
+    )
+    mpc = MpcConfig(
+        time_horizon=info.get_scalar(t, "mpc.timeHorizon", 1.0),
+        mpc_desired_frequency=info.get_scalar(t, "mpc.mpcDesiredFrequency", 50.0),
+        mrt_desired_frequency=info.get_scalar(t, "mpc.mrtDesiredFrequency", 400.0),
+        cold_start=info.get_bool(t, "mpc.coldStart", False),
+    )
+    wbc = WbcConfig(
+        torque_limits=info.get_matrix(t, "torqueLimitsTask", max(nj // 2, 1)),
+        friction_coefficient=info.get_scalar(t, "frictionConeTask.frictionCoefficient", 0.3),
+        swing_kp=info.get_scalar(t, "swingLegTask.kp", 350.0),
+        swing_kd=info.get_scalar(t, "swingLegTask.kd", 37.0),
+        base_kp=info.get_matrix(t, "baseAccelPDTask.baseKp", 6),
+        base_kd=info.get_matrix(t, "baseAccelPDTask.baseKd", 6),
+        no_contact_motion_tolerance=info.get_scalar(t, "noContactMotionTask.tolerance", 5.0),
+        weight_swing_leg=info.get_scalar(t, "weight.swingLeg", 100.0),
+        weight_base_accel=info.get_scalar(t, "weight.baseAccel", 1.0),
+        weight_contact_force=info.get_scalar(t, "weight.contactForce", 0.01),
+    )
+
+    cfg = TaskConfig(
+        joint_names=joint_names,
+        contact_names=contact_names,
+        upper_joint_names=upper_names,
+        position_error_gain=info.get_scalar(t, "model_settings.positionErrorGain", 0.0),
+        phase_transition_stance_time=info.get_scalar(
+            t, "model_settings.phaseTransitionStanceTime", 0.4
+        ),
+        swing=swing,
+        sqp=sqp,
+        mpc=mpc,
+        initial_state=info.get_matrix(t, "initialState", nx),
+        Q=info.get_matrix(t, "Q", nx, nx),
+        R_task=info.get_matrix(t, "R", 6 * nc, 6 * nc),
+        friction_coefficient=info.get_scalar(
+            t, "frictionConeSoftConstraint.frictionCoefficient", 0.5
+        ),
+        wbc=wbc,
+        com_height=info.get_scalar(r, "comHeight", 0.9),
+        default_joint_state=info.get_matrix(r, "defaultJointState", nj),
+        default_upper_joint_state=(
+            info.get_matrix(r, "defaultUpperJointState", len(upper_names)) if upper_names else None
+        ),
+        target_displacement_velocity=info.get_scalar(r, "targetDisplacementVelocity", 0.5),
+        target_rotation_velocity=info.get_scalar(r, "targetRotationVelocity", 0.3),
+    )
+    # initial mode schedule + default gait template
+    init_modes = [
+        MODE_BY_NAME[m] for m in info.get_string_list(r, "initialModeSchedule.modeSequence")
+    ]
+    init_events = info.get_scalar_list(r, "initialModeSchedule.eventTimes")
+    cfg.initial_mode_schedule = ModeSchedule(init_events, init_modes)
+    cfg.default_gait = _mode_sequence_template(r, "defaultModeSequenceTemplate")
+    # note: defaultModeSequenceTemplate uses key 'switchingTimes', initial uses 'eventTimes'
+
+    if gait_file and os.path.exists(gait_file):
+        g = info.load_info(gait_file)
+        for name in info.get_string_list(g, "list"):
+            cfg.gait_library[name] = _mode_sequence_template(g, name)
+    return cfg
+
+
+def build_input_cost_weight(model, inf, R_task: np.ndarray, initial_state: np.ndarray) -> np.ndarray:
+    """Map the task-space R onto inputs: forces keep their block, the
+    joint-velocity block becomes J^T R_foot J with J the foot translational
+    Jacobians (joint columns) at the nominal configuration
+    (BipedalRobotInterface::initializeInputCostWeight, cpp:239-271)."""
+    import jax.numpy as jnp
+
+    from ..model.kinematics import forward_kinematics, frame_position, point_jacobian
+
+    nc = inf.num_contacts
+    total = 3 * nc
+    q = jnp.asarray(initial_state[6:])
+    kin = forward_kinematics(model, q)
+    rows = []
+    for fid in inf.contact_frame_ids:
+        p = frame_position(model, kin, fid)
+        J = point_jacobian(model, kin, model.frame_body[fid], p)
+        rows.append(np.asarray(J[:3, 6:]))
+    J_feet = np.concatenate(rows, axis=0)  # (3nc, nj)
+    R = np.zeros((inf.input_dim, inf.input_dim))
+    R[:total, :total] = R_task[:total, :total]
+    R[total:, total:] = J_feet.T @ R_task[total:, total:] @ J_feet
+    return R

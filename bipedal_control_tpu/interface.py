@@ -1,0 +1,114 @@
+"""Robot interface factory — the BipedalRobotInterface equivalent.
+
+Assembles everything a solver/controller needs from a URDF + config files
+(reference: ocs2_bipedal_robot/src/BipedalRobotInterface.cpp:67-204
+setupOptimalConrolProblem): reduced JAX model, centroidal info, cost weights
+(with the task-space R mapping), OCP settings, and a ReferenceManager
+initialized from reference.info/gait.info.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config.loader import TaskConfig, build_input_cost_weight, load_task_config
+from .gait.mode_schedule import GaitSchedule, ModeSchedule
+from .gait.swing import SwingConfig
+from .model.centroidal import CentroidalModelInfo, make_info
+from .model.robot_model import RobotModel, from_description
+from .model.urdf import load_urdf
+from .ocp.problem import OcpSettings
+from .reference.manager import ReferenceManager
+from .reference.target import CommandConfig, TargetTrajectories
+from .robots import RobotAssets, get_assets
+
+
+@dataclasses.dataclass
+class RobotInterface:
+    """Bundle of model + problem data (getOptimalControlProblem analogue)."""
+
+    model: RobotModel
+    info: CentroidalModelInfo
+    settings: OcpSettings
+    Q: jnp.ndarray
+    R: jnp.ndarray
+    task: TaskConfig
+    command_config: CommandConfig
+
+    @property
+    def initial_state(self) -> np.ndarray:
+        return self.task.initial_state
+
+    def make_reference_manager(self) -> ReferenceManager:
+        """Fresh host-side reference manager seeded from reference.info."""
+        init_sched = self.task.initial_mode_schedule
+        gait = GaitSchedule(
+            ModeSchedule(list(init_sched.event_times), list(init_sched.mode_sequence)),
+            self.task.default_gait,
+            self.task.phase_transition_stance_time,
+        )
+        x0 = self.task.initial_state
+        target = TargetTrajectories(
+            times=np.array([0.0]),
+            states=x0[None, :].copy(),
+            inputs=np.zeros((1, self.info.input_dim)),
+        )
+        return ReferenceManager(
+            gait_schedule=gait,
+            swing_config=self.task.swing,
+            target=target,
+            horizon=self.task.mpc.time_horizon,
+            num_intervals=self.settings.num_intervals,
+        )
+
+
+def make_interface(
+    urdf_path: str,
+    task_file: str,
+    reference_file: str,
+    gait_file: str | None = None,
+) -> RobotInterface:
+    task = load_task_config(task_file, reference_file, gait_file)
+    # Upper-body joints are welded at zero like the reference's reduced
+    # pinocchio model (createPinocchioInterface with jointNames).
+    desc = load_urdf(urdf_path, task.joint_names)
+    model = from_description(desc)
+    info = make_info(model, task.contact_names)
+    R = build_input_cost_weight(model, info, task.R_task, task.initial_state)
+    settings = OcpSettings(
+        dt=task.sqp.dt,
+        horizon=task.mpc.time_horizon,
+        sqp_iterations=task.sqp.sqp_iterations,
+        friction_coefficient=task.friction_coefficient,
+        barrier_mu=task.sqp.inequality_constraint_mu,
+        barrier_delta=task.sqp.inequality_constraint_delta,
+        position_error_gain=task.position_error_gain,
+        integrator=task.sqp.integrator,
+    )
+    command_config = CommandConfig(
+        com_height=task.com_height,
+        default_joint_state=task.default_joint_state,
+        target_displacement_velocity=task.target_displacement_velocity,
+        target_rotation_velocity=task.target_rotation_velocity,
+    )
+    return RobotInterface(
+        model=model,
+        info=info,
+        settings=settings,
+        Q=jnp.asarray(task.Q),
+        R=jnp.asarray(R),
+        task=task,
+        command_config=command_config,
+    )
+
+
+def make_interface_for(robot: str | RobotAssets) -> RobotInterface:
+    assets = get_assets(robot) if isinstance(robot, str) else robot
+    if assets.task_info is None:
+        raise ValueError(
+            f"robot '{assets.name}' ships description only (no task config); "
+            "pass explicit files to make_interface()"
+        )
+    return make_interface(assets.urdf, assets.task_info, assets.reference_info, assets.gait_info)

@@ -226,11 +226,23 @@ def _value_and_jacobians(fn, x, u):
 
 
 def _barrier_hessian_u(settings: OcpSettings, info: CentroidalModelInfo, u, refs: NodeRefs):
-    """dt-scaled exact Hessian of the masked cone barriers w.r.t. u."""
-    pen = lambda uu: refs.dt * jnp.sum(
-        refs.contact_flags
-        * relaxed_barrier(
-            friction_cone_values(settings, uu, info), settings.barrier_mu, settings.barrier_delta
+    """dt-scaled exact Hessian of the masked cone barriers w.r.t. u.
+
+    The barrier is separable per contact force, so only 4 dense 3x3 Hessians
+    are computed and scattered into the (nu, nu) block-diagonal."""
+
+    def per_contact(f3, flag):
+        pen = lambda ff: relaxed_barrier(
+            settings.friction_coefficient * (ff[2] + settings.gripper_force)
+            - jnp.sqrt(ff[0] ** 2 + ff[1] ** 2 + settings.cone_regularization),
+            settings.barrier_mu,
+            settings.barrier_delta,
         )
-    )
-    return jax.hessian(pen)(u)
+        return flag * jax.hessian(pen)(f3)
+
+    forces = get_contact_forces(u, info)
+    blocks = jax.vmap(per_contact)(forces, refs.contact_flags)  # (nc,3,3)
+    H = jnp.zeros((u.shape[0], u.shape[0]))
+    for i in range(NUM_CONTACTS):
+        H = H.at[3 * i : 3 * i + 3, 3 * i : 3 * i + 3].set(blocks[i])
+    return refs.dt * H

@@ -1,0 +1,70 @@
+"""Scenario-batched MPC over device meshes.
+
+This is the framework's "distributed backend" (SURVEY.md §2.4/§5.8): the
+reference's thread pools become a scenario batch axis — thousands of
+independent MPC problems (robots x gaits x terrains x horizon shifts) vmapped
+per chip and sharded over a `jax.sharding.Mesh` ("data" axis) so the batched
+Riccati stages ride ICI, with XLA inserting any cross-chip collectives.
+
+Each scenario carries its own reference tables (gait/swing/target), initial
+state, and warm start; the solver program is identical across scenarios, so
+one compiled executable serves the whole fleet.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..model.centroidal import CentroidalModelInfo
+from ..model.robot_model import RobotModel
+from ..ocp.problem import OcpSettings
+from ..solver.sqp import sqp_solve
+
+
+def batched_sqp_solve(model, info, settings, Q, R, refs_b, t_nodes_b, x_init_b, xs_b, us_b):
+    """vmap of the full SQP over a leading scenario axis on every argument."""
+    return jax.vmap(
+        lambda refs, t_nodes, x_init, xs, us: sqp_solve(
+            model, info, settings, Q, R, refs, t_nodes, x_init, xs, us
+        )
+    )(refs_b, t_nodes_b, x_init_b, xs_b, us_b)
+
+
+def make_mesh(axis_name: str = "data", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(tree, mesh: Mesh, axis_name: str = "data"):
+    """Place a batched pytree with the leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(tree, sharding)
+
+
+def make_batched_solver(
+    model: RobotModel,
+    info: CentroidalModelInfo,
+    settings: OcpSettings,
+    Q,
+    R,
+    mesh: Mesh | None = None,
+    axis_name: str = "data",
+    donate_warm_start: bool = True,
+):
+    """Compile a batch-sharded solver.  Inputs must be batched on axis 0; when
+    a mesh is given the batch axis is sharded across it (batch % n_devices == 0).
+    """
+    f = partial(batched_sqp_solve, model, info, settings, Q, R)
+    if mesh is None:
+        return jax.jit(f, donate_argnums=(3, 4) if donate_warm_start else ())
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        f,
+        in_shardings=(sharding,) * 5,
+        out_shardings=sharding,
+        donate_argnums=(3, 4) if donate_warm_start else (),
+    )

@@ -1,0 +1,70 @@
+"""Robot registry: locate description/config assets for the supported robots.
+
+The framework is robot-agnostic (like the reference's C++ layers); per-robot
+URDF/config assets are supplied by the user.  By default we look for a
+reference-layout asset tree at $BIPEDAL_ASSETS (or /root/reference), matching
+the four robots the reference ships: Unitree H1, OpenLoong, Hunter, Unitree G1
+(bipedal_robot_example/, SURVEY.md §2 items 31-34).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+ASSET_ROOT = os.environ.get(
+    "BIPEDAL_ASSETS", os.environ.get("BIPEDAL_REFERENCE_ASSETS", "/root/reference")
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotAssets:
+    name: str
+    urdf: str
+    task_info: str | None
+    reference_info: str | None
+    gait_info: str | None
+    mjcf: str | None = None
+
+    def exists(self) -> bool:
+        return os.path.exists(self.urdf)
+
+
+def _example(rel: str) -> str:
+    return os.path.join(ASSET_ROOT, "bipedal_robot_example", rel)
+
+
+REGISTRY: dict[str, RobotAssets] = {
+    "h1": RobotAssets(
+        name="h1",
+        urdf=_example("unitree_h1/h1_description/urdf/h1_with_sole.urdf"),
+        task_info=_example("unitree_h1/h1_ocs2_config/config/task/task.info"),
+        reference_info=_example("unitree_h1/h1_ocs2_config/config/command/reference.info"),
+        gait_info=_example("unitree_h1/h1_ocs2_config/config/command/gait.info"),
+        mjcf=_example("unitree_h1/h1_description/mjcf/scene.xml"),
+    ),
+    "hunter": RobotAssets(
+        name="hunter",
+        urdf=_example("hunter/legged_hunter_description/urdf/hunter.urdf"),
+        task_info=_example("hunter/legged_hunter_config/config/task/task.info"),
+        reference_info=_example("hunter/legged_hunter_config/config/command/reference.info"),
+        gait_info=_example("hunter/legged_hunter_config/config/command/gait.info"),
+    ),
+    "openloong": RobotAssets(
+        name="openloong",
+        urdf=_example("openloong_description/urdf/AzureLoong_with_sole.urdf"),
+        task_info=_example("openloong_description/config/task/task.info"),
+        reference_info=_example("openloong_description/config/command/reference.info"),
+        gait_info=_example("openloong_description/config/command/gait.info"),
+    ),
+    "g1": RobotAssets(
+        name="g1",
+        urdf=_example("unitree_g1/g1_description/g1.urdf"),
+        task_info=None,  # description-only in the reference (SURVEY §2 item 34)
+        reference_info=None,
+        gait_info=None,
+    ),
+}
+
+
+def get_assets(name: str) -> RobotAssets:
+    return REGISTRY[name]

@@ -1,0 +1,162 @@
+"""Multiple-shooting Gauss-Newton SQP (OCS2 SqpMpc equivalent, TPU-first).
+
+One jitted ``sqp_solve`` does: per-node linearization (vmap over the horizon),
+the equality-constrained Riccati sweep (solver/riccati.py), and a parallel
+merit line search (all step-size candidates evaluated in one vmap instead of
+sequential backtracking).  Default ``sqp_iterations=1`` matches the
+reference's real-time iteration scheme (task.info sqp.sqpIteration 1).
+
+Everything is static-shape: mode switching enters only through per-node
+reference tables, so the same compiled solve serves every gait, and a batch
+axis of independent scenarios can be vmapped/pjitted on top.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..model.centroidal import CentroidalModelInfo
+from ..model.robot_model import RobotModel
+from ..ocp.problem import (
+    NodeRefs,
+    OcpSettings,
+    discrete_dynamics,
+    equality_residual,
+    linearize_node,
+    make_node_refs,
+    node_cost,
+    weight_compensating_input,
+)
+from .riccati import solve_lqr
+
+_LINESEARCH_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
+_MERIT_PENALTY = 1e2  # l1 penalty on dynamics defects + equality residuals
+
+
+class SqpSolution(NamedTuple):
+    """PrimalSolution equivalent: policy nodes + feedback gains."""
+
+    t_nodes: jnp.ndarray  # (N+1,)
+    x_traj: jnp.ndarray  # (N+1, nx)
+    u_traj: jnp.ndarray  # (N, nu)
+    K: jnp.ndarray  # (N, nu, nx) feedback gains
+    cost: jnp.ndarray  # () achieved merit cost term
+    defect_norm: jnp.ndarray  # () l1 dynamics defect
+    eq_norm: jnp.ndarray  # () l1 equality residual
+    step_size: jnp.ndarray  # () accepted line-search step
+
+
+def eq_mask_from_flags(contact_flags):
+    """(..., 4) flags -> (..., 16) active-row mask: the 12 velocity/force rows
+    are always active; the 4 normal-velocity rows only during swing."""
+    ones = jnp.ones(contact_flags.shape[:-1] + (12,))
+    return jnp.concatenate([ones, 1.0 - contact_flags], axis=-1)
+
+
+def _merit(model, info, settings, Q, R, xs, us, refs: NodeRefs):
+    """l1 merit: cost + penalty * (defects + equality residuals)."""
+
+    def per_node(x, u, x_next, ref):
+        c = ref.dt * node_cost(model, info, settings, Q, R, x, u, ref)
+        defect = discrete_dynamics(model, info, settings, x, u, ref.dt) - x_next
+        e = equality_residual(model, info, settings, x, u, ref)
+        mask = eq_mask_from_flags(ref.contact_flags)
+        return c, jnp.sum(jnp.abs(defect)), jnp.sum(jnp.abs(mask * e))
+
+    costs, defects, eqs = jax.vmap(per_node)(xs[:-1], us, xs[1:], refs)
+    return jnp.sum(costs), jnp.sum(defects), jnp.sum(eqs)
+
+
+def sqp_solve(
+    model: RobotModel,
+    info: CentroidalModelInfo,
+    settings: OcpSettings,
+    Q,
+    R,
+    refs: NodeRefs,  # stacked over N (one per interval, at node times)
+    t_nodes,  # (N+1,)
+    x_init,  # (nx,) measured initial state
+    x_warm,  # (N+1, nx) warm-start state trajectory
+    u_warm,  # (N, nu)
+) -> SqpSolution:
+    """Run `settings.sqp_iterations` Gauss-Newton iterations."""
+
+    xs, us = x_warm, u_warm
+    # the initial state is a hard parameter: pin node 0
+    xs = xs.at[0].set(x_init)
+
+    lin_fn = jax.vmap(
+        lambda x, u, xn, ref: linearize_node(model, info, settings, Q, R, x, u, xn, ref)
+    )
+
+    step_size = jnp.asarray(1.0)
+    masks = eq_mask_from_flags(refs.contact_flags)
+    gains = None
+    for _ in range(settings.sqp_iterations):
+        nodes = lin_fn(xs[:-1], us, xs[1:], refs)
+        sol = solve_lqr(nodes, masks, dx0=jnp.zeros_like(x_init))
+        gains = sol.K
+
+        alphas = jnp.asarray(_LINESEARCH_ALPHAS)
+
+        def try_alpha(a):
+            xs_a = xs + a * sol.dx
+            us_a = us + a * sol.du
+            c, d, e = _merit(model, info, settings, Q, R, xs_a, us_a, refs)
+            return c + _MERIT_PENALTY * (d + e)
+
+        merits = jax.vmap(try_alpha)(alphas)
+        best = jnp.argmin(merits)
+        step_size = alphas[best]
+        xs = xs + step_size * sol.dx
+        us = us + step_size * sol.du
+
+    cost, defect, eq = _merit(model, info, settings, Q, R, xs, us, refs)
+    # Feedback gains from the last QP (real-time-iteration practice: OCS2
+    # likewise publishes the gains of the QP it just solved).
+    return SqpSolution(
+        t_nodes=t_nodes,
+        x_traj=xs,
+        u_traj=us,
+        K=gains,
+        cost=cost,
+        defect_norm=defect,
+        eq_norm=eq,
+        step_size=step_size,
+    )
+
+
+def build_refs(info: CentroidalModelInfo, gait_table, swing_table, target_table, t_nodes):
+    """Stacked NodeRefs for each interval (vmap over node times)."""
+    dts = t_nodes[1:] - t_nodes[:-1]
+    return jax.vmap(
+        lambda t, dt: make_node_refs(info, gait_table, swing_table, target_table, t, dt)
+    )(t_nodes[:-1], dts)
+
+
+def initial_trajectory(info: CentroidalModelInfo, refs: NodeRefs, x_init, num_nodes: int):
+    """Cold-start rollout matching the reference Initializer
+    (BipedalRobotInitializer.cpp:42-63): state held constant, input =
+    weight-compensating forces for the node's contact mode."""
+    xs = jnp.tile(x_init[None], (num_nodes, 1))
+    us = jax.vmap(lambda f: weight_compensating_input(info, f, info.input_dim))(
+        refs.contact_flags
+    )
+    return xs, us
+
+
+def warm_start_from_solution(prev: SqpSolution, t_nodes):
+    """Shift the previous solution onto a new time grid (MPC warm start;
+    replaces OCS2's internal trajectory re-initialization, mpc.coldStart=false)."""
+
+    def interp_rows(times, rows, t):
+        idx = jnp.clip(jnp.searchsorted(times, t, side="right"), 1, rows.shape[0] - 1)
+        t0, t1 = times[idx - 1], times[idx]
+        alpha = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+        return rows[idx - 1] * (1 - alpha) + rows[idx] * alpha
+
+    xs = jax.vmap(lambda t: interp_rows(prev.t_nodes, prev.x_traj, t))(t_nodes)
+    us = jax.vmap(lambda t: interp_rows(prev.t_nodes[:-1], prev.u_traj, t))(t_nodes[:-1])
+    return xs, us

@@ -1,0 +1,147 @@
+"""Gait tiling, swing splines, and .info config parsing tests."""
+import numpy as np
+import pytest
+
+from bipedal_control_tpu.gait import (
+    LF,
+    RF,
+    STANCE,
+    GaitSchedule,
+    ModeSchedule,
+    ModeSequenceTemplate,
+    SwingConfig,
+    freeze_mode_schedule,
+    plan_swing_table,
+)
+from bipedal_control_tpu.utils import info_format
+
+from conftest import REFERENCE_ASSETS
+import os
+
+H1_TASK = os.path.join(
+    REFERENCE_ASSETS, "bipedal_robot_example/unitree_h1/h1_ocs2_config/config/task/task.info"
+)
+H1_REF = os.path.join(
+    REFERENCE_ASSETS, "bipedal_robot_example/unitree_h1/h1_ocs2_config/config/command/reference.info"
+)
+H1_GAIT = os.path.join(
+    REFERENCE_ASSETS, "bipedal_robot_example/unitree_h1/h1_ocs2_config/config/command/gait.info"
+)
+
+
+def _trot():
+    return ModeSequenceTemplate([0.0, 0.35, 0.70], [LF, RF])
+
+
+def test_gait_tiling_trot():
+    gs = GaitSchedule(ModeSchedule([0.5], [STANCE, STANCE]), _trot(), 0.4)
+    # inserting onto a trailing STANCE phase skips the transition buffer
+    gs.insert_mode_sequence_template(_trot(), 1.0, 2.0)
+    sched = gs.get_mode_schedule(0.0, 3.0)
+    ev = np.array(sched.event_times)
+    assert np.all(np.diff(ev) > 0)
+    # after 1.0 the pattern must alternate LF/RF with 0.35 period
+    for i, t in enumerate(ev):
+        if t >= 1.0 - 1e-9 and i + 1 < len(sched.mode_sequence) and t < ev[-1] - 1e-9:
+            phase_idx = i + 1
+            k = round((t - 1.0) / 0.35)
+            expected = LF if k % 2 == 0 else RF
+            assert sched.mode_sequence[phase_idx] == expected, (t, k)
+
+
+def test_gait_insert_with_stance_buffer():
+    gs = GaitSchedule(ModeSchedule([0.5], [LF, RF]), _trot(), 0.4)
+    gs.insert_mode_sequence_template(_trot(), 1.0, 2.0)
+    sched = gs._schedule
+    # last pre-insert mode was RF (not STANCE) -> 0.4 s stance buffer at 1.0
+    idx = sched.event_times.index(1.0)
+    # the phase entered at event idx is mode_sequence[idx + 1]
+    assert sched.mode_sequence[idx + 1] == STANCE
+    assert abs(sched.event_times[idx + 1] - 1.4) < 1e-9
+
+
+def test_mode_table_lookup():
+    sched = ModeSchedule([1.0, 2.0], [STANCE, LF, RF])
+    table = freeze_mode_schedule(sched, max_phases=6)
+    assert int(table.mode_at(0.5)) == STANCE
+    assert int(table.mode_at(1.0)) == LF  # event time belongs to the new phase
+    assert int(table.mode_at(1.5)) == LF
+    assert int(table.mode_at(2.5)) == RF
+    assert int(table.mode_at(99.0)) == RF
+    np.testing.assert_array_equal(np.asarray(table.contact_flags_at(1.5)), [1, 1, 0, 0])
+
+
+def test_swing_spline_boundary_conditions():
+    cfg = SwingConfig(lift_off_velocity=0.05, touch_down_velocity=-0.1, swing_height=0.08,
+                      swing_time_scale=0.15)
+    # contact 2,3 (right) swing during phase 1 of [STANCE, RF-swing...]: use LF mode
+    sched = ModeSchedule([0.2, 0.55, 0.9], [STANCE, LF, STANCE, STANCE])
+    table = plan_swing_table(cfg, sched, max_phases=6)
+    t0, t1 = 0.2, 0.55
+    scaling = min(1.0, (t1 - t0) / cfg.swing_time_scale)
+    assert scaling == 1.0
+    for c in (2, 3):  # right-foot contacts swing in LF mode
+        z0 = float(table.z_position(c, 1, t0))
+        v0 = float(table.z_velocity(c, 1, t0))
+        zm = float(table.z_position(c, 1, 0.5 * (t0 + t1)))
+        vm = float(table.z_velocity(c, 1, 0.5 * (t0 + t1)))
+        z1 = float(table.z_position(c, 1, t1))
+        v1 = float(table.z_velocity(c, 1, t1))
+        assert abs(z0 - 0.0) < 1e-12 and abs(v0 - scaling * 0.05) < 1e-12
+        assert abs(zm - 0.08) < 1e-12 and abs(vm) < 1e-12
+        assert abs(z1 - 0.0) < 1e-12 and abs(v1 - scaling * (-0.1)) < 1e-12
+    for c in (0, 1):  # stance contacts: constant zero height
+        assert abs(float(table.z_position(c, 1, 0.3))) < 1e-12
+        assert abs(float(table.z_velocity(c, 1, 0.3))) < 1e-12
+
+
+def test_swing_scaling_short_phase():
+    cfg = SwingConfig()
+    sched = ModeSchedule([0.2, 0.28, 0.9], [STANCE, LF, STANCE, STANCE])
+    table = plan_swing_table(cfg, sched, max_phases=6)
+    scaling = (0.28 - 0.2) / cfg.swing_time_scale
+    apex = float(table.z_position(2, 1, 0.24))
+    np.testing.assert_allclose(apex, scaling * cfg.swing_height, atol=1e-12)
+
+
+@pytest.mark.skipif(not os.path.exists(H1_TASK), reason="reference assets unavailable")
+def test_info_parser_h1_task():
+    cfg = info_format.load_info(H1_TASK)
+    joints = info_format.get_string_list(cfg, "model_settings.jointNames")
+    assert joints[0] == "left_hip_yaw_joint" and len(joints) == 10
+    Q = info_format.get_matrix(cfg, "Q", 22, 22)
+    assert Q[0, 0] == 15.0 and Q[3, 3] == 5000.0 and Q[12, 12] == 800.0
+    R = info_format.get_matrix(cfg, "R", 24, 24)
+    assert R[0, 0] == 5.0 * 1e-3 and R[12, 12] == 2000.0 * 1e-3  # scaling applied
+    assert info_format.get_scalar(cfg, "sqp.dt") == 0.015
+    assert info_format.get_bool(cfg, "sqp.useFeedbackPolicy") is True
+
+
+@pytest.mark.skipif(not os.path.exists(H1_TASK), reason="reference assets unavailable")
+def test_interface_h1_builds():
+    from bipedal_control_tpu.interface import make_interface_for
+
+    iface = make_interface_for("h1")
+    assert iface.info.state_dim == 22 and iface.info.input_dim == 22
+    assert abs(iface.info.robot_mass - 51.641) < 0.1
+    assert iface.task.gait_library.keys() >= {"stance", "trot", "standing_trot", "flying_trot"}
+    # R joint block mapped through foot jacobians must be symmetric PSD
+    Rj = np.asarray(iface.R)[12:, 12:]
+    np.testing.assert_allclose(Rj, Rj.T, atol=1e-12)
+    assert np.linalg.eigvalsh(Rj).min() > -1e-9
+    rm = iface.make_reference_manager()
+    frozen = rm.freeze(0.0)
+    assert frozen.t_nodes.shape == (iface.settings.num_intervals + 1,)
+    # event snapping: 0.5 s event of the initial schedule lands on a node
+    assert np.any(np.abs(frozen.t_nodes - 0.5) < 1e-9)
+
+
+@pytest.mark.skipif(not os.path.exists(H1_TASK), reason="reference assets unavailable")
+@pytest.mark.parametrize("robot", ["hunter", "openloong"])
+def test_interface_other_robots_build(robot):
+    from bipedal_control_tpu.interface import make_interface_for
+
+    iface = make_interface_for(robot)
+    nj = iface.info.nj
+    assert iface.info.state_dim == 12 + nj
+    assert len(iface.info.contact_frame_ids) == 4
