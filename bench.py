@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched H1-trot MPC solves/s per chip + p99 latency.
+
+Prints ONE JSON line:
+  {"metric": "mpc_solves_per_s_per_chip", "value": N, "unit": "solves/s",
+   "vs_baseline": N / 1250, ...extras}
+
+Baseline normalization: the north-star target is >= 10,000 solves/s on a
+v5p-16 (8 chips) => 1250 solves/s/chip.  vs_baseline >= 1.0 means the per-chip
+target is met.  Extras report p99 single-solve latency against the
+reference's 20 ms replan budget (task.info mpcDesiredFrequency 50) and the
+10 ms target.
+
+Runs on whatever jax.devices() provides (real TPU under the driver; CPU works
+for smoke runs: BENCH_BATCH=8 BENCH_STEPS=2 python bench.py).
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+LAT_SOLVES = int(os.environ.get("BENCH_LAT_SOLVES", "30"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.parallel import make_batched_solver
+    from bipedal_control_tpu.solver import build_refs, initial_trajectory, sqp_solve
+
+    n_chips = len(jax.devices())
+
+    iface = make_interface_for("h1")
+    settings = dataclasses.replace(iface.settings, sqp_iterations=1)
+    rm = iface.make_reference_manager()
+    rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
+    frozen = rm.freeze(0.0)
+    t_nodes = jnp.asarray(frozen.t_nodes)
+    refs = build_refs(iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
+    x0 = jnp.asarray(iface.initial_state)
+    xs, us = initial_trajectory(iface.info, refs, x0, settings.num_intervals + 1)
+
+    # ---- batched throughput (one real-time-iteration solve per scenario)
+    solver = make_batched_solver(
+        iface.model, iface.info, settings, iface.Q, iface.R, donate_warm_start=False
+    )
+    tile = lambda a: jnp.broadcast_to(a[None], (BATCH,) + a.shape).copy()
+    refs_b = jax.tree.map(tile, refs)
+    t_b, x_b = tile(t_nodes), tile(x0)
+    xs_b, us_b = tile(xs), tile(us)
+
+    for _ in range(WARMUP):
+        sol = solver(refs_b, t_b, x_b, xs_b, us_b)
+        xs_b, us_b = sol.x_traj, sol.u_traj  # warm-start chaining
+    jax.block_until_ready(sol.x_traj)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        sol = solver(refs_b, t_b, x_b, xs_b, us_b)
+        xs_b, us_b = sol.x_traj, sol.u_traj
+    jax.block_until_ready(sol.x_traj)
+    elapsed = time.perf_counter() - t0
+    solves_per_s = BATCH * STEPS / elapsed / max(n_chips, 1)
+
+    # ---- single-solve latency
+    single = jax.jit(
+        lambda refs, t, x, xs, us: sqp_solve(
+            iface.model, iface.info, settings, iface.Q, iface.R, refs, t, x, xs, us
+        )
+    )
+    sol1 = single(refs, t_nodes, x0, xs, us)
+    jax.block_until_ready(sol1.x_traj)
+    lats = []
+    xs1, us1 = sol1.x_traj, sol1.u_traj
+    for _ in range(LAT_SOLVES):
+        t1 = time.perf_counter()
+        sol1 = single(refs, t_nodes, x0, xs1, us1)
+        jax.block_until_ready(sol1.x_traj)
+        lats.append(time.perf_counter() - t1)
+        xs1, us1 = sol1.x_traj, sol1.u_traj
+    p99 = float(np.percentile(np.asarray(lats) * 1e3, 99))
+    p50 = float(np.percentile(np.asarray(lats) * 1e3, 50))
+
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_solves_per_s_per_chip",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / 1250.0, 4),
+                "batch": BATCH,
+                "chips": n_chips,
+                "p50_solve_ms": round(p50, 3),
+                "p99_solve_ms": round(p99, 3),
+                "p99_vs_10ms_budget": round(10.0 / p99, 4),
+                "defect_l1": float(jnp.sum(sol1.defect_norm)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""Command-line entry points mirroring the reference's node set.
+
+  bc-tpu plan   — planner-only dummy loop (bipedal_robot_sqp.launch / dummy node)
+  bc-tpu sim    — MuJoCo closed loop with the full MPC+WBC cascade
+                  (bringup_mujoco.launch + restart_mujoco.py)
+  bc-tpu gaits  — list the robot's gait library (GaitKeyboardPublisher's menu)
+  bc-tpu bench  — run the headline benchmark (bench.py)
+
+All take --robot {h1,hunter,openloong} (assets resolved via $BIPEDAL_ASSETS).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_robot_arg(p):
+    p.add_argument("--robot", default="h1", choices=["h1", "hunter", "openloong"])
+
+
+def cmd_plan(args):
+    import jax.numpy as jnp
+
+    from .interface import make_interface_for
+    from .reference.target import cmd_vel_to_target_trajectories
+    from .runtime.mpc_runner import MpcRunner
+    from .sim.dummy_loop import run_dummy_loop
+
+    iface = make_interface_for(args.robot)
+    mpc = MpcRunner(iface)
+    if args.gait != "stance":
+        mpc.rm.set_gait(iface.task.gait_library[args.gait], start_time=0.1)
+    x0 = np.asarray(iface.initial_state)
+    if any(abs(v) > 0 for v in args.cmd_vel):
+        mpc.rm.set_target(
+            cmd_vel_to_target_trajectories(
+                np.asarray(args.cmd_vel), 0.0, x0, iface.command_config, iface.info.input_dim
+            )
+        )
+    res = run_dummy_loop(
+        iface, mpc, jnp.asarray(x0), duration=args.duration,
+        mrt_frequency=args.mrt_frequency, mpc_frequency=args.mpc_frequency,
+    )
+    base = res.states[:, 6:12]
+    print(f"ran {args.duration}s: base z [{base[:, 2].min():.3f}, {base[:, 2].max():.3f}], "
+          f"xy displacement ({base[-1, 0] - base[0, 0]:.3f}, {base[-1, 1] - base[0, 1]:.3f})")
+    print("mpc timing:", json.dumps(res.mpc_stats))
+    if args.out:
+        np.savez(args.out, times=res.times, states=res.states, inputs=res.inputs)
+        print("saved trajectory to", args.out)
+    return 0
+
+
+def cmd_sim(args):
+    import jax.numpy as jnp
+
+    from .interface import make_interface_for
+    from .robots import get_assets
+    from .runtime.controller import BipedalController
+    from .sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
+
+    iface = make_interface_for(args.robot)
+    assets = get_assets(args.robot)
+    if not assets.mjcf:
+        print(f"no MJCF scene registered for {args.robot}", file=sys.stderr)
+        return 1
+    sim = MujocoSimBackend(
+        assets.mjcf, list(iface.task.joint_names),
+        MujocoSimConfig(command_delay_s=args.delay),
+    )
+    upper = {}
+    if iface.task.upper_joint_names and iface.task.default_upper_joint_state is not None:
+        upper = dict(zip(iface.task.upper_joint_names, iface.task.default_upper_joint_state))
+    x0 = iface.initial_state
+    sim.reset(
+        base_pos=x0[6:9], base_quat_wxyz=np.array([1.0, 0, 0, 0]),
+        joint_pos=x0[12:], upper_joint_targets=upper,
+    )
+    ctrl = BipedalController(iface)
+    if args.gait != "stance":
+        ctrl.mpc.rm.set_gait(iface.task.gait_library[args.gait], start_time=sim.time + 0.3)
+    ctrl.starting(sim.time, jnp.asarray(sim.rbd_state()))
+    control_dt = 1.0 / args.control_frequency
+    substeps = max(1, int(round(control_dt / sim.timestep)))
+    steps = int(round(args.duration / control_dt))
+    for k in range(steps):
+        rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
+        cmd = ctrl.update(sim.time, jnp.asarray(rbd))
+        if not ctrl.safe:
+            print(f"safety stop at t={sim.time:.3f}s (tilt limit)")
+            break
+        sim.apply_command(cmd)
+        sim.step(substeps)
+    pos, _, _, _ = sim.ground_truth()
+    print(f"sim done at t={sim.time:.2f}s base at ({pos[0]:.3f}, {pos[1]:.3f}, {pos[2]:.3f}) "
+          f"safe={ctrl.safe}")
+    print("mpc:", json.dumps(ctrl.mpc.timer.stats()))
+    print("wbc:", json.dumps(ctrl.wbc_timer.stats()))
+    return 0 if ctrl.safe else 2
+
+
+def cmd_gaits(args):
+    from .interface import make_interface_for
+
+    iface = make_interface_for(args.robot)
+    for name, tpl in iface.task.gait_library.items():
+        from .gait.mode_schedule import MODE_NAMES
+
+        seq = "-".join(MODE_NAMES[m] for m in tpl.mode_sequence)
+        print(f"{name}: duration {tpl.duration:.2f}s, sequence {seq}")
+    return 0
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bc-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("plan", help="planner-only dummy loop")
+    _add_robot_arg(p)
+    p.add_argument("--gait", default="trot")
+    p.add_argument("--duration", type=float, default=2.0)
+    p.add_argument("--mrt-frequency", type=float, default=400.0)
+    p.add_argument("--mpc-frequency", type=float, default=50.0)
+    p.add_argument("--cmd-vel", type=float, nargs=4, default=[0, 0, 0, 0],
+                   metavar=("VX", "VY", "VZ", "WYAW"))
+    p.add_argument("--out", default=None, help="save trajectory .npz")
+    p.set_defaults(fn=cmd_plan)
+
+    p = sub.add_parser("sim", help="MuJoCo closed loop (MPC+WBC cascade)")
+    _add_robot_arg(p)
+    p.add_argument("--gait", default="stance")
+    p.add_argument("--duration", type=float, default=5.0)
+    p.add_argument("--control-frequency", type=float, default=500.0)
+    p.add_argument("--delay", type=float, default=0.0, help="actuation delay [s]")
+    p.set_defaults(fn=cmd_sim)
+
+    p = sub.add_parser("gaits", help="list gait library")
+    _add_robot_arg(p)
+    p.set_defaults(fn=cmd_gaits)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

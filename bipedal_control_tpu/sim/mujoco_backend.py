@@ -1,0 +1,162 @@
+"""Host MuJoCo simulation backend — the bipedal_mujoco equivalent.
+
+Runs the robot's MJCF scene (e.g. the reference's
+h1_description/mjcf/scene.xml) as the physics ground truth, applying hybrid
+joint commands exactly like BipedalMujocoHW::write
+(bipedal_mujoco/src/hw/BipedalMujocoHW.cpp:206-218):
+
+    ctrl = tau_ff + kp (posDes - q) + kd (velDes - dq)
+
+re-evaluated every physics substep, with an optional actuation delay buffer
+replicating the Gazebo backend's 9 ms command latency
+(bipedal_gazebo/src/BipedalHWSim.cpp:160-178).  Ground truth (base pose/twist)
+feeds the cheater estimator; IMU/joint sensor readouts are also exposed for
+the Kalman estimator path.
+"""
+from __future__ import annotations
+
+import collections
+import dataclasses
+
+import numpy as np
+
+from ..runtime.controller import JointCommand
+
+
+@dataclasses.dataclass
+class MujocoSimConfig:
+    physics_substeps_per_control: int = 1
+    command_delay_s: float = 0.0  # 0.009 replicates the Gazebo delay buffer
+
+
+class MujocoSimBackend:
+    def __init__(self, mjcf_path: str, joint_names: list[str], cfg: MujocoSimConfig | None = None):
+        import mujoco
+
+        self._mj = mujoco
+        self.model = mujoco.MjModel.from_xml_path(mjcf_path)
+        self.data = mujoco.MjData(self.model)
+        self.cfg = cfg or MujocoSimConfig()
+        self.joint_names = joint_names
+        # actuator/joint address maps for our joint ordering
+        self._act_ids, self._qadr, self._dadr = [], [], []
+        for name in joint_names:
+            jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, name)
+            if jid < 0:
+                raise ValueError(f"joint {name} not in model")
+            self._qadr.append(self.model.jnt_qposadr[jid])
+            self._dadr.append(self.model.jnt_dofadr[jid])
+            aid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_ACTUATOR, name)
+            self._act_ids.append(aid)
+        self._qadr = np.asarray(self._qadr)
+        self._dadr = np.asarray(self._dadr)
+        # extra actuators (upper body etc.) not driven by the main controller
+        self._other_act = [
+            a for a in range(self.model.nu) if a not in self._act_ids
+        ]
+        self._other_act_joint = []
+        for a in self._other_act:
+            jid = self.model.actuator_trnid[a, 0]
+            self._other_act_joint.append(
+                (a, self.model.jnt_qposadr[jid], self.model.jnt_dofadr[jid])
+            )
+        self._cmd: JointCommand | None = None
+        self._upper_targets: dict[int, float] = {}
+        delay_steps = int(round(self.cfg.command_delay_s / self.model.opt.timestep))
+        self._delay_queue = collections.deque(maxlen=max(1, delay_steps + 1))
+
+    # ------------------------------------------------------------------
+    @property
+    def time(self) -> float:
+        return float(self.data.time)
+
+    @property
+    def timestep(self) -> float:
+        return float(self.model.opt.timestep)
+
+    def reset(self, base_pos, base_quat_wxyz, joint_pos, upper_joint_targets=None):
+        self._mj.mj_resetData(self.model, self.data)
+        self.data.qpos[0:3] = base_pos
+        self.data.qpos[3:7] = base_quat_wxyz
+        for adr, q in zip(self._qadr, joint_pos):
+            self.data.qpos[adr] = q
+        if upper_joint_targets:
+            for name, q in upper_joint_targets.items():
+                jid = self._mj.mj_name2id(self.model, self._mj.mjtObj.mjOBJ_JOINT, name)
+                if jid >= 0:
+                    self.data.qpos[self.model.jnt_qposadr[jid]] = q
+                    self._upper_targets[jid] = q
+        self._mj.mj_forward(self.model, self.data)
+        self._cmd = None
+        self._delay_queue.clear()
+
+    def apply_command(self, cmd: JointCommand) -> None:
+        self._delay_queue.append(cmd)
+
+    def _active_command(self) -> JointCommand | None:
+        if not self._delay_queue:
+            return self._cmd
+        if len(self._delay_queue) == self._delay_queue.maxlen or self.cfg.command_delay_s == 0.0:
+            self._cmd = self._delay_queue.popleft() if self.cfg.command_delay_s > 0 else self._delay_queue[-1]
+            if self.cfg.command_delay_s == 0.0:
+                self._delay_queue.clear()
+        return self._cmd
+
+    def step(self, n_substeps: int = 1) -> None:
+        for _ in range(n_substeps):
+            cmd = self._active_command()
+            if cmd is not None:
+                q = self.data.qpos[self._qadr]
+                dq = self.data.qvel[self._dadr]
+                tau = cmd.tau_ff + cmd.kp * (cmd.pos_des - q) + cmd.kd * (cmd.vel_des - dq)
+                for aid, t in zip(self._act_ids, tau):
+                    lo, hi = self.model.actuator_ctrlrange[aid]
+                    self.data.ctrl[aid] = np.clip(t, lo, hi)
+            # hold the upper body at its targets (UpperJointController
+            # semantics, kp=100 kd=3, UpperJointController.cpp:31-118)
+            for aid, qadr, dadr in self._other_act_joint:
+                jid = self.model.actuator_trnid[aid, 0]
+                q_t = self._upper_targets.get(jid, 0.0)
+                lo, hi = self.model.actuator_ctrlrange[aid]
+                self.data.ctrl[aid] = np.clip(
+                    100.0 * (q_t - self.data.qpos[qadr]) - 3.0 * self.data.qvel[dadr], lo, hi
+                )
+            self._mj.mj_step(self.model, self.data)
+
+    # ------------------------------------------------------------------
+    def ground_truth(self):
+        """(pos, quat_wxyz, v_world, omega_world) of the floating base
+        (the /ground_truth/state odom of BipedalMujocoHW.cpp:159-203)."""
+        pos = self.data.qpos[0:3].copy()
+        quat = self.data.qpos[3:7].copy()
+        v_world = self.data.qvel[0:3].copy()
+        # mujoco free-joint angular velocity is body-local
+        R = np.zeros(9)
+        self._mj.mju_quat2Mat(R, quat)
+        omega_world = R.reshape(3, 3) @ self.data.qvel[3:6]
+        return pos, quat, v_world, omega_world
+
+    def joint_states(self):
+        return self.data.qpos[self._qadr].copy(), self.data.qvel[self._dadr].copy()
+
+    def rbd_state(self, last_yaw=None) -> np.ndarray:
+        """Cheater-estimator rbdState straight from ground truth."""
+        from ..estim.cheater import rbd_state_from_ground_truth
+
+        pos, quat, v, w = self.ground_truth()
+        qj, dqj = self.joint_states()
+        return np.asarray(
+            rbd_state_from_ground_truth(pos, quat, v, w, qj, dqj, last_yaw=last_yaw)
+        )
+
+    def imu(self):
+        """(quat_wxyz, gyro_local, accel_local) from the MJCF IMU sensors when
+        present, else synthesized from ground truth."""
+        m, d = self.model, self.data
+        out = {}
+        for name in ("imu_quat", "imu_gyro", "imu_acc"):
+            sid = self._mj.mj_name2id(m, self._mj.mjtObj.mjOBJ_SENSOR, name)
+            if sid >= 0:
+                adr, dim = m.sensor_adr[sid], m.sensor_dim[sid]
+                out[name] = d.sensordata[adr : adr + dim].copy()
+        return out

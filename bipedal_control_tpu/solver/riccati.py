@@ -27,8 +27,10 @@ import jax.numpy as jnp
 
 from ..ocp.problem import LinearizedNode
 
-_DUAL_EPS = 1e-9
-_HUU_REG = 1e-9
+def _regs(dtype):
+    """Dtype-aware regularization: f64 on CPU golden tests, f32 on TPU."""
+    eps = float(jnp.finfo(dtype).eps)
+    return max(1e-9, 100.0 * eps), max(1e-9, 100.0 * eps)
 
 
 class RiccatiSolution(NamedTuple):
@@ -51,10 +53,11 @@ def _stage_kkt(node: LinearizedNode, eq_mask, S_next, s_next):
 
     nu = H_uu.shape[0]
     ne = node.e.shape[0]
-    reg = eq_mask * _DUAL_EPS + (1.0 - eq_mask) * 1.0
+    dual_eps, huu_reg = _regs(node.A.dtype)
+    reg = eq_mask * dual_eps + (1.0 - eq_mask) * 1.0
     kkt = jnp.block(
         [
-            [H_uu + _HUU_REG * jnp.eye(nu), node.D.T],
+            [H_uu + huu_reg * jnp.eye(nu), node.D.T],
             [node.D, -jnp.diag(reg)],
         ]
     )

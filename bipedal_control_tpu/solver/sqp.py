@@ -32,7 +32,10 @@ from ..ocp.problem import (
 from .riccati import solve_lqr
 
 _LINESEARCH_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
-_MERIT_PENALTY = 1e2  # l1 penalty on dynamics defects + equality residuals
+# Filter-linesearch bands on the squared constraint violation (ISE), matching
+# the reference solver settings (task.info sqp.g_max 1e-2 / g_min 1e-6).
+_G_MAX = 1e-2
+_G_MIN = 1e-6
 
 
 class SqpSolution(NamedTuple):
@@ -56,7 +59,7 @@ def eq_mask_from_flags(contact_flags):
 
 
 def _merit(model, info, settings, Q, R, xs, us, refs: NodeRefs):
-    """l1 merit: cost + penalty * (defects + equality residuals)."""
+    """(cost, l1 defect, l1 equality residual) over the horizon."""
 
     def per_node(x, u, x_next, ref):
         c = ref.dt * node_cost(model, info, settings, Q, R, x, u, ref)
@@ -67,6 +70,35 @@ def _merit(model, info, settings, Q, R, xs, us, refs: NodeRefs):
 
     costs, defects, eqs = jax.vmap(per_node)(xs[:-1], us, xs[1:], refs)
     return jnp.sum(costs), jnp.sum(defects), jnp.sum(eqs)
+
+
+def _performance(model, info, settings, Q, R, xs, us, refs: NodeRefs):
+    """(cost, squared-violation ISE) — the filter-linesearch metrics
+    (OCS2 PerformanceIndex: dynamicsViolationSSE + equalityConstraintsSSE)."""
+
+    def per_node(x, u, x_next, ref):
+        c = ref.dt * node_cost(model, info, settings, Q, R, x, u, ref)
+        defect = discrete_dynamics(model, info, settings, x, u, ref.dt) - x_next
+        e = equality_residual(model, info, settings, x, u, ref)
+        mask = eq_mask_from_flags(ref.contact_flags)
+        return c, jnp.sum(defect**2) + jnp.sum((mask * e) ** 2)
+
+    costs, viols = jax.vmap(per_node)(xs[:-1], us, xs[1:], refs)
+    return jnp.sum(costs), jnp.sum(viols)
+
+
+def _filter_accept(cost_base, viol_base, cost_step, viol_step):
+    """OCS2 FilterLinesearch acceptance: infeasible iterates must reduce
+    violation; near-feasible steps must reduce cost; in between either."""
+    infeasible = viol_base > _G_MAX
+    both_feasible = jnp.logical_and(viol_step < _G_MIN, viol_base < _G_MAX)
+    reduce_viol = viol_step < (1.0 - 1e-3) * viol_base
+    reduce_cost = cost_step < cost_base - 1e-6 * jnp.abs(cost_base)
+    return jnp.where(
+        infeasible,
+        reduce_viol,
+        jnp.where(both_feasible, reduce_cost, jnp.logical_or(reduce_cost, reduce_viol)),
+    )
 
 
 def sqp_solve(
@@ -104,12 +136,15 @@ def sqp_solve(
         def try_alpha(a):
             xs_a = xs + a * sol.dx
             us_a = us + a * sol.du
-            c, d, e = _merit(model, info, settings, Q, R, xs_a, us_a, refs)
-            return c + _MERIT_PENALTY * (d + e)
+            return _performance(model, info, settings, Q, R, xs_a, us_a, refs)
 
-        merits = jax.vmap(try_alpha)(alphas)
-        best = jnp.argmin(merits)
-        step_size = alphas[best]
+        costs_a, viols_a = jax.vmap(try_alpha)(alphas)
+        cost0, viol0 = costs_a[-1], viols_a[-1]  # alpha = 0 entry
+        accepted = _filter_accept(cost0, viol0, costs_a, viols_a)
+        # largest accepted alpha (alphas sorted descending); fall back to 0
+        idx = jnp.argmax(accepted)
+        any_ok = jnp.any(accepted[:-1])
+        step_size = jnp.where(any_ok, alphas[idx], 0.0)
         xs = xs + step_size * sol.dx
         us = us + step_size * sol.du
 

@@ -1,0 +1,71 @@
+"""Planner-only closed-loop tests (dummy MRT loop, milestone-1 e2e slice).
+
+This is the reference's standard verification harness: MPC replanning at
+50 Hz against its own model integrated at 400 Hz (SURVEY.md §3.4 / §7.2,
+BASELINE config "H1 flat-ground trot, single-scenario SQP NMPC, 1 s horizon").
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ASSETS
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE_ASSETS, "bipedal_robot_example")),
+    reason="reference assets unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def h1_iface():
+    from bipedal_control_tpu.interface import make_interface_for
+
+    return make_interface_for("h1")
+
+
+def test_h1_trot_dummy_loop(h1_iface):
+    from bipedal_control_tpu.runtime.mpc_runner import MpcRunner
+    from bipedal_control_tpu.sim.dummy_loop import run_dummy_loop
+
+    iface = h1_iface
+    mpc = MpcRunner(iface)
+    mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
+    x0 = jnp.asarray(iface.initial_state)
+    res = run_dummy_loop(iface, mpc, x0, duration=1.0, mrt_frequency=400.0, mpc_frequency=50.0)
+
+    assert np.all(np.isfinite(res.states))
+    base = res.states[:, 6:12]
+    # base height holds near the com target through gait switching
+    np.testing.assert_allclose(base[:, 2], 0.93, atol=0.05)
+    # roll/pitch stay small (the robot does not fall in its own model)
+    assert np.abs(base[:, 4:]).max() < 0.15
+    # normalized momentum bounded
+    assert np.abs(res.states[:, 0:6]).max() < 1.0
+    # MPC latency measured (CPU numbers; the TPU bench is bench.py)
+    assert res.mpc_stats["count"] >= 40
+
+
+def test_h1_cmd_vel_tracking(h1_iface):
+    """Forward walk command: the dummy loop must make forward progress at
+    roughly the commanded speed (cmd_vel -> target trajectory path)."""
+    from bipedal_control_tpu.reference.target import cmd_vel_to_target_trajectories
+    from bipedal_control_tpu.runtime.mpc_runner import MpcRunner
+    from bipedal_control_tpu.sim.dummy_loop import run_dummy_loop
+
+    iface = h1_iface
+    mpc = MpcRunner(iface)
+    mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
+    x0 = np.asarray(iface.initial_state)
+    cmd = np.array([0.4, 0.0, 0.0, 0.0])  # 0.4 m/s forward
+    mpc.rm.set_target(
+        cmd_vel_to_target_trajectories(cmd, 0.0, x0, iface.command_config, iface.info.input_dim)
+    )
+    res = run_dummy_loop(iface, mpc, jnp.asarray(x0), duration=1.0)
+    dx = res.states[-1, 6] - res.states[0, 6]
+    # some forward progress toward 0.4 m/s (transient from standstill)
+    assert dx > 0.1, dx
+    # lateral sway (weight shift over the stance foot) is expected in trot
+    assert np.abs(res.states[:, 7]).max() < 0.25
+    assert np.all(np.isfinite(res.states))

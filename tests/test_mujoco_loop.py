@@ -1,0 +1,64 @@
+"""Full-cascade closed loop in MuJoCo physics (milestone-2 integration).
+
+Equivalent of the reference's bringup_mujoco + restart_mujoco.py manual test
+(SURVEY.md §4 item 3): real physics, cheater estimator, MPC -> policy -> WBC
+-> hybrid joint PD commands, safety checker in the loop.
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ASSETS
+
+MJCF = os.path.join(
+    REFERENCE_ASSETS, "bipedal_robot_example/unitree_h1/h1_description/mjcf/scene.xml"
+)
+pytestmark = pytest.mark.skipif(not os.path.exists(MJCF), reason="H1 MJCF scene unavailable")
+
+
+@pytest.fixture(scope="module")
+def h1_sim_setup():
+    pytest.importorskip("mujoco")
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
+
+    iface = make_interface_for("h1")
+    sim = MujocoSimBackend(MJCF, list(iface.task.joint_names), MujocoSimConfig())
+    return iface, sim
+
+
+def _reset(iface, sim):
+    x0 = iface.initial_state
+    upper = dict(zip(iface.task.upper_joint_names, iface.task.default_upper_joint_state))
+    sim.reset(
+        base_pos=x0[6:9],
+        base_quat_wxyz=np.array([1.0, 0, 0, 0]),
+        joint_pos=x0[12:],
+        upper_joint_targets=upper,
+    )
+
+
+def test_mujoco_stance_balance(h1_sim_setup):
+    """Standing balance for 0.5 s of real physics without a safety stop."""
+    from bipedal_control_tpu.runtime.controller import BipedalController
+
+    iface, sim = h1_sim_setup
+    _reset(iface, sim)
+    ctrl = BipedalController(iface)
+    ctrl.starting(sim.time, jnp.asarray(sim.rbd_state()))
+    control_dt = 1.0 / 500.0
+    substeps = max(1, int(round(control_dt / sim.timestep)))
+    n = int(0.5 / control_dt)
+    for _ in range(n):
+        rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
+        cmd = ctrl.update(sim.time, jnp.asarray(rbd))
+        assert np.all(np.isfinite(cmd.tau_ff))
+        sim.apply_command(cmd)
+        sim.step(substeps)
+        if not ctrl.safe:
+            break
+    pos, _, _, _ = sim.ground_truth()
+    assert ctrl.safe, f"safety stop, base at {pos}"
+    assert pos[2] > 0.75, pos

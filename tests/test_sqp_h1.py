@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from conftest import REFERENCE_ASSETS
+from bipedal_control_tpu.solver import sqp_solve
 
 H1_TASK = os.path.join(
     REFERENCE_ASSETS, "bipedal_robot_example/unitree_h1/h1_ocs2_config/config/task/task.info"
@@ -23,22 +24,37 @@ def h1_iface():
     return make_interface_for("h1")
 
 
-def _solve(iface, rm, t0, x_init, iters=3):
+def _solve(iface, rm, t0, x_init, iters=5):
+    """Real-time-iteration style: repeated warm-started 1-iteration solves
+    (shares a single compiled program across every test)."""
     import dataclasses
 
-    from bipedal_control_tpu.solver import build_refs, initial_trajectory, sqp_solve
+    from bipedal_control_tpu.solver import build_refs, initial_trajectory
 
-    settings = dataclasses.replace(iface.settings, sqp_iterations=iters)
+    settings = dataclasses.replace(iface.settings, sqp_iterations=1)
     frozen = rm.freeze(t0)
     t_nodes = jnp.asarray(frozen.t_nodes)
     refs = build_refs(iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
     xs, us = initial_trajectory(iface.info, refs, x_init, settings.num_intervals + 1)
-    solve = jax.jit(
-        lambda refs, t_nodes, x_init, xs, us: sqp_solve(
-            iface.model, iface.info, settings, iface.Q, iface.R, refs, t_nodes, x_init, xs, us
+    solve = _get_solver(iface, settings)
+    for _ in range(iters):
+        sol = solve(refs, t_nodes, x_init, xs, us)
+        xs, us = sol.x_traj, sol.u_traj
+    return sol, refs
+
+
+_SOLVER_CACHE = {}
+
+
+def _get_solver(iface, settings):
+    key = settings.sqp_iterations
+    if key not in _SOLVER_CACHE:
+        _SOLVER_CACHE[key] = jax.jit(
+            lambda refs, t_nodes, x_init, xs, us: sqp_solve(
+                iface.model, iface.info, settings, iface.Q, iface.R, refs, t_nodes, x_init, xs, us
+            )
         )
-    )
-    return solve(refs, t_nodes, x_init, xs, us), refs
+    return _SOLVER_CACHE[key]
 
 
 def test_h1_stance_solve(h1_iface):
@@ -49,18 +65,18 @@ def test_h1_stance_solve(h1_iface):
 
     assert float(sol.step_size) > 0.0
     # dynamics defects and equality residuals drive to small values
-    # l1 sums over the whole horizon (67 nodes x 22 dims / 16 rows):
-    # ~1e-4 per entry
-    assert float(sol.defect_norm) < 0.5, float(sol.defect_norm)
-    assert float(sol.eq_norm) < 0.5, float(sol.eq_norm)
+    assert float(sol.defect_norm) < 1e-2, float(sol.defect_norm)
+    assert float(sol.eq_norm) < 1e-2, float(sol.eq_norm)
     # standing: base pose stays near the target over the whole horizon
     base = np.asarray(sol.x_traj[:, 6:12])
     np.testing.assert_allclose(base[:, 2], 0.93, atol=0.02)
-    np.testing.assert_allclose(base[:, 3:], 0.0, atol=0.02)
-    # forces ~ mg/4 on each contact z
+    np.testing.assert_allclose(base[:, 3:], 0.0, atol=0.06)
+    # vertical forces: all positive, summing to ~mg (the toe/heel split is
+    # uneven because the com is not centered over the soles)
     forces = np.asarray(sol.u_traj[:, :12]).reshape(-1, 4, 3)
-    mg4 = iface.info.robot_mass * 9.81 / 4
-    np.testing.assert_allclose(forces[5:-5, :, 2], mg4, rtol=0.35)
+    mg = iface.info.robot_mass * 9.81
+    assert np.all(forces[5:-5, :, 2] > 0)
+    np.testing.assert_allclose(forces[5:-5, :, 2].sum(axis=1), mg, rtol=0.1)
     # friction cone satisfied everywhere (mu=0.5)
     tangent = np.linalg.norm(forces[..., :2], axis=-1)
     assert np.all(0.5 * forces[5:, :, 2] - tangent[5:] > -1e-6)
@@ -71,10 +87,10 @@ def test_h1_trot_solve(h1_iface):
     rm = iface.make_reference_manager()
     rm.set_gait(iface.task.gait_library["trot"], start_time=0.2)
     x0 = jnp.asarray(iface.initial_state)
-    sol, refs = _solve(iface, rm, 0.0, x0, iters=4)
+    sol, refs = _solve(iface, rm, 0.0, x0)
 
-    assert float(sol.defect_norm) < 1.0, float(sol.defect_norm)
-    assert float(sol.eq_norm) < 1.0, float(sol.eq_norm)
+    assert float(sol.defect_norm) < 5e-2, float(sol.defect_norm)
+    assert float(sol.eq_norm) < 5e-2, float(sol.eq_norm)
 
     flags = np.asarray(refs.contact_flags)  # (N, 4)
     # the gait actually switches within the horizon
@@ -109,7 +125,7 @@ def test_h1_warm_start_improves(h1_iface):
     rm = iface.make_reference_manager()
     rm.set_gait(iface.task.gait_library["trot"], start_time=0.2)
     x0 = jnp.asarray(iface.initial_state)
-    sol0, _ = _solve(iface, rm, 0.0, x0, iters=4)
+    sol0, _ = _solve(iface, rm, 0.0, x0)
 
     settings = dataclasses.replace(iface.settings, sqp_iterations=1)
     frozen = rm.freeze(0.02)
@@ -118,8 +134,8 @@ def test_h1_warm_start_improves(h1_iface):
     xs, us = warm_start_from_solution(sol0, t_nodes)
     # next measured state: from the previous solution a replan period later
     x_init = xs[0]
-    sol1 = sqp_solve(
-        iface.model, iface.info, settings, iface.Q, iface.R, refs, t_nodes, x_init, xs, us
-    )
-    assert float(sol1.defect_norm) < 2 * float(sol0.defect_norm) + 0.1
-    assert float(sol1.eq_norm) < 1.0
+    sol1 = _get_solver(iface, settings)(refs, t_nodes, x_init, xs, us)
+    # one warm-started RTI step keeps residuals small and takes the full step
+    assert float(sol1.defect_norm) < 0.1
+    assert float(sol1.eq_norm) < 0.5
+    assert float(sol1.step_size) >= 0.5
