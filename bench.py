@@ -30,6 +30,10 @@ LAT_SOLVES = int(os.environ.get("BENCH_LAT_SOLVES", "30"))
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/bctpu_xla"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from bipedal_control_tpu.interface import make_interface_for
