@@ -115,19 +115,23 @@ def assemble_input(forces_flat, v_j):
 
 # ---------------------------------------------------------------- CMM
 def centroidal_momentum_matrix(model: RobotModel, q):
-    """A(q): (6, nv) mapping v -> [p_com_dot * m ; L_world_about_com]."""
+    """A(q): (6, nv) mapping v -> [p_com_dot * m ; L_world_about_com],
+    assembled from stacked body-com Jacobians in a few einsums."""
+    from .kinematics import stacked_point_jacobians
+
     kin = forward_kinematics(model, q)
     coms = body_com_positions(model, kin)
     com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
-    nv = model.nv
-    A_lin = jnp.zeros((3, nv))
-    A_ang = jnp.zeros((3, nv))
-    for b in range(model.nb):
-        J = point_jacobian(model, kin, b, coms[b])
-        Jv, Jw = J[:3], J[3:]
-        I_w = kin.R[b] @ model.body_inertia[b] @ kin.R[b].T
-        A_lin = A_lin + model.body_mass[b] * Jv
-        A_ang = A_ang + I_w @ Jw + model.body_mass[b] * (skew(coms[b] - com) @ Jv)
+    J = stacked_point_jacobians(model, kin, coms, model.ancestor_mask())  # (nb,6,nv)
+    Jv, Jw = J[:, :3, :], J[:, 3:, :]
+    I_w = jnp.einsum("bij,bjk,blk->bil", kin.R, model.body_inertia, kin.R)
+    A_lin = jnp.einsum("b,biv->iv", model.body_mass, Jv)
+    rel = coms - com  # (nb, 3)
+    cross_term = jnp.cross(rel[:, None, :], Jv.transpose(0, 2, 1)).transpose(0, 2, 1)
+    A_ang = (
+        jnp.einsum("bij,bjv->iv", I_w, Jw)
+        + jnp.einsum("b,biv->iv", model.body_mass, cross_term)
+    )
     return jnp.concatenate([A_lin, A_ang], axis=0)
 
 

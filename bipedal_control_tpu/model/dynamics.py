@@ -20,28 +20,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .kinematics import BodyKin, body_com_positions, forward_kinematics, point_jacobian
+from .kinematics import (
+    BodyKin,
+    body_com_positions,
+    forward_kinematics,
+    stacked_point_jacobians,
+)
 from .robot_model import RobotModel
 
 GRAVITY = 9.81
 
 
 def _body_com_jacobians(model: RobotModel, kin: BodyKin):
-    """Per-body (6, nv) Jacobians at each body's com."""
+    """(nb, 6, nv) Jacobians at every body's com, one stacked tensor op."""
     coms = body_com_positions(model, kin)
-    return [point_jacobian(model, kin, b, coms[b]) for b in range(model.nb)]
+    return stacked_point_jacobians(model, kin, coms, model.ancestor_mask())
 
 
 def mass_matrix(model: RobotModel, q):
-    """(nv, nv) joint-space inertia matrix."""
+    """(nv, nv) joint-space inertia matrix: two einsums over stacked body
+    Jacobians (MXU work instead of a per-body loop)."""
     kin = forward_kinematics(model, q)
-    Js = _body_com_jacobians(model, kin)
-    nv = model.nv
-    M = jnp.zeros((nv, nv))
-    for b in range(model.nb):
-        Jv, Jw = Js[b][:3], Js[b][3:]
-        I_w = kin.R[b] @ model.body_inertia[b] @ kin.R[b].T
-        M = M + model.body_mass[b] * (Jv.T @ Jv) + Jw.T @ I_w @ Jw
+    J = _body_com_jacobians(model, kin)  # (nb, 6, nv)
+    Jv, Jw = J[:, :3, :], J[:, 3:, :]
+    I_w = jnp.einsum("bij,bjk,blk->bil", kin.R, model.body_inertia, kin.R)
+    M = jnp.einsum("b,biv,biw->vw", model.body_mass, Jv, Jv)
+    M = M + jnp.einsum("biv,bij,bjw->vw", Jw, I_w, Jw)
     return M
 
 

@@ -81,31 +81,54 @@ def _joint_world_axes(model: RobotModel, kin: BodyKin):
     return axes, anchors
 
 
+def stacked_point_jacobians(model: RobotModel, kin: BodyKin, points, ancestor_mask):
+    """(m, 6, nv) world-aligned Jacobians for m points at once.
+
+    points: (m, 3) world positions; ancestor_mask: static (m, nj) bool (joint
+    j moves point i).  One shot of batched tensor ops instead of per-column
+    scatters — this is what keeps the model evaluation MXU/VPU-friendly under
+    vmap over (scenarios x horizon nodes).
+    """
+    import numpy as np
+
+    nj = model.nj
+    axes, anchors = _joint_world_axes(model, kin)
+    mask = jnp.asarray(np.asarray(ancestor_mask, dtype=np.float64), dtype=points.dtype)
+    rev = jnp.asarray(
+        np.asarray([t == JOINT_REVOLUTE for t in model.joint_type], dtype=np.float64),
+        dtype=points.dtype,
+    )
+
+    rel = points[:, None, :] - anchors[None, :, :]  # (m, nj, 3)
+    jv_rev = jnp.cross(axes[None, :, :], rel)  # (m, nj, 3)
+    jv_joint = rev[None, :, None] * jv_rev + (1.0 - rev)[None, :, None] * axes[None, :, :]
+    jv_joint = jv_joint * mask[:, :, None]  # (m, nj, 3)
+    jw_joint = (rev[:, None] * axes)[None, :, :] * mask[:, :, None]
+
+    m = points.shape[0]
+    r = points - kin.p[0]  # (m, 3)
+    # base Euler columns: col i of Jv = E[:, i] x r  (rotation about base origin)
+    jv_base_e = jnp.cross(kin.E.T[None, :, :], r[:, None, :])  # (m, 3cols, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), (m, 3, 3))
+    Jv = jnp.concatenate(
+        [eye, jv_base_e.transpose(0, 2, 1), jv_joint.transpose(0, 2, 1)], axis=2
+    )  # (m, 3, nv)
+    Jw = jnp.concatenate(
+        [
+            jnp.zeros((m, 3, 3), dtype=points.dtype),
+            jnp.broadcast_to(kin.E, (m, 3, 3)),
+            jw_joint.transpose(0, 2, 1),
+        ],
+        axis=2,
+    )
+    return jnp.concatenate([Jv, Jw], axis=1)  # (m, 6, nv)
+
+
 def point_jacobian(model: RobotModel, kin: BodyKin, body_idx: int, p_world):
     """6 x nv world-aligned Jacobian of the point ``p_world`` rigidly attached
     to body ``body_idx`` (body_idx static)."""
-    nv = model.nv
-    anc = model.ancestor_mask()[body_idx]  # static numpy bool (nj,)
-    axes, anchors = _joint_world_axes(model, kin)
-
-    Jv = jnp.zeros((3, nv))
-    Jw = jnp.zeros((3, nv))
-    # base translation
-    Jv = Jv.at[:, 0:3].set(jnp.eye(3))
-    # base orientation (Euler-rate columns)
-    r = p_world - kin.p[0]
-    Jv = Jv.at[:, 3:6].set(-skew(r) @ kin.E)
-    Jw = Jw.at[:, 3:6].set(kin.E)
-    # joints (masked by static ancestry; loop unrolled at trace time)
-    for j in range(model.nj):
-        if not anc[j]:
-            continue
-        if model.joint_type[j] == JOINT_REVOLUTE:
-            Jv = Jv.at[:, 6 + j].set(jnp.cross(axes[j], p_world - anchors[j]))
-            Jw = Jw.at[:, 6 + j].set(axes[j])
-        else:  # prismatic
-            Jv = Jv.at[:, 6 + j].set(axes[j])
-    return jnp.concatenate([Jv, Jw], axis=0)
+    anc = model.ancestor_mask()[body_idx : body_idx + 1]  # (1, nj)
+    return stacked_point_jacobians(model, kin, p_world[None], anc)[0]
 
 
 def frame_jacobian(model: RobotModel, q, frame_id: int):

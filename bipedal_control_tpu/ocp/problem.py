@@ -99,16 +99,16 @@ def make_node_refs(info: CentroidalModelInfo, gait_table, swing_table, target_ta
 def contact_kinematics(model: RobotModel, info: CentroidalModelInfo, x, u):
     """(positions (nc,3), velocities (nc,3)) of the contact frames under the
     centroidal mapping (end-effector kinematics of the constraints)."""
+    from ..model.kinematics import stacked_point_jacobians
+
     q = get_generalized_coordinates(x)
     v = generalized_velocity_from_state_input(model, info, x, u)
     kin = forward_kinematics(model, q)
-    ps, vs = [], []
-    for fid in info.contact_frame_ids:
-        p = frame_position(model, kin, fid)
-        J = point_jacobian(model, kin, model.frame_body[fid], p)
-        ps.append(p)
-        vs.append(J[:3] @ v)
-    return jnp.stack(ps), jnp.stack(vs)
+    ps = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
+    anc = model.ancestor_mask()[[model.frame_body[fid] for fid in info.contact_frame_ids]]
+    J = stacked_point_jacobians(model, kin, ps, anc)  # (nc, 6, nv)
+    vs = jnp.einsum("civ,v->ci", J[:, :3, :], v)
+    return ps, vs
 
 
 def equality_residual(model: RobotModel, info: CentroidalModelInfo, settings: OcpSettings, x, u, refs: NodeRefs):
@@ -199,13 +199,22 @@ class LinearizedNode(NamedTuple):
 def linearize_node(
     model: RobotModel, info: CentroidalModelInfo, settings: OcpSettings, Q, R, x, u, x_next, refs: NodeRefs
 ):
-    """Full Gauss-Newton data for one node (vmap over the horizon)."""
-    dyn = lambda xx, uu: discrete_dynamics(model, info, settings, xx, uu, refs.dt)
-    F, (A, B) = _value_and_jacobians(dyn, x, u)
-    c = F - x_next
+    """Full Gauss-Newton data for one node (vmap over the horizon).
 
-    eq = lambda xx, uu: equality_residual(model, info, settings, xx, uu, refs)
-    e, (C, D) = _value_and_jacobians(eq, x, u)
+    Dynamics and equality residuals share one fused jacfwd so XLA reuses the
+    FK subgraph across both and all 44 tangents."""
+    nx = x.shape[0]
+
+    def fused(xx, uu):
+        F = discrete_dynamics(model, info, settings, xx, uu, refs.dt)
+        e = equality_residual(model, info, settings, xx, uu, refs)
+        return jnp.concatenate([F, e])
+
+    val, (Jx, Ju) = _value_and_jacobians(fused, x, u)
+    F, e = val[:nx], val[nx:]
+    A, C = Jx[:nx], Jx[nx:]
+    B, D = Ju[:nx], Ju[nx:]
+    c = F - x_next
 
     cost_fn = lambda xx, uu: refs.dt * node_cost(model, info, settings, Q, R, xx, uu, refs)
     cost_val = cost_fn(x, u)

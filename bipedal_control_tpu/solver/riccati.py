@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ocp.problem import LinearizedNode
+from ..ops.linalg import solve_saddle_kkt
 
 def _regs(dtype):
     """Dtype-aware regularization: f64 on CPU golden tests, f32 on TPU."""
@@ -55,17 +56,11 @@ def _stage_kkt(node: LinearizedNode, eq_mask, S_next, s_next):
     ne = node.e.shape[0]
     dual_eps, huu_reg = _regs(node.A.dtype)
     reg = eq_mask * dual_eps + (1.0 - eq_mask) * 1.0
-    kkt = jnp.block(
-        [
-            [H_uu + huu_reg * jnp.eye(nu), node.D.T],
-            [node.D, -jnp.diag(reg)],
-        ]
-    )
-    rhs = jnp.concatenate(
-        [jnp.concatenate([H_ux, h_u[:, None]], axis=1), jnp.concatenate([node.C, node.e[:, None]], axis=1)],
-        axis=0,
-    )  # (nu+ne, nx+1)
-    sol = jnp.linalg.solve(kkt, rhs)
+    rhs_top = jnp.concatenate([H_ux, h_u[:, None]], axis=1)
+    rhs_bot = jnp.concatenate([node.C, node.e[:, None]], axis=1)
+    # quasi-definite KKT: pivot-free Gauss-Jordan vectorizes across the
+    # scenario batch on TPU (ops/linalg.py), unlike LAPACK-style LU
+    sol = solve_saddle_kkt(H_uu + huu_reg * jnp.eye(nu), node.D, reg, rhs_top, rhs_bot)
     K = sol[:nu, :-1]  # du = -K dx - k
     k = sol[:nu, -1]
 

@@ -31,7 +31,7 @@ from ..ocp.problem import (
 )
 from .riccati import solve_lqr
 
-_LINESEARCH_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
+_LINESEARCH_ALPHAS = (1.0, 0.5, 0.25, 0.0)
 # Filter-linesearch bands on the squared constraint violation (ISE), matching
 # the reference solver settings (task.info sqp.g_max 1e-2 / g_min 1e-6).
 _G_MAX = 1e-2

@@ -50,12 +50,16 @@ def solve_qp(
             [A, -jnp.diag(1.0 / rho_vec)],
         ]
     )
-    lu, piv = jax.scipy.linalg.lu_factor(kkt)
+    # factorize once: quasi-definite KKT -> pivot-free inverse (TPU-friendly,
+    # batches under vmap); iterations are then pure matvecs.
+    from ..ops.linalg import gauss_jordan_solve
+
+    kkt_inv = gauss_jordan_solve(kkt, jnp.eye(n + m))
 
     def body(_, carry):
         x, z, y = carry
         rhs = jnp.concatenate([sigma * x - g, z - y / rho_vec])
-        sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        sol = kkt_inv @ rhs
         x_t, nu = sol[:n], sol[n:]
         z_t = z + (nu - y) / rho_vec
         x_new = alpha * x_t + (1 - alpha) * x
