@@ -1,0 +1,317 @@
+"""Structured node linearization: analytic columns + q-only forward AD.
+
+The fused jacfwd in problem.py pushes 44 tangents (nx+nu) through the whole
+FK/CMM pipeline.  But the centroidal flow map and the contact constraints
+depend on the *model* only through a small set of configuration terms
+
+    T(q) = (p_ee (nc,3), com (3), A (6,nv), J_ee (nc,3,nv))
+
+and on (h, F, v_j) only through cheap linear algebra.  So: one jacfwd of T
+over the 16 q-coordinates per evaluation point, then closed-form assembly of
+every Jacobian block:
+
+    hdot_lin = g + sum F / m                        (F columns analytic)
+    hdot_ang = sum (p_i - com) x F_i / m            (q via dT, F analytic)
+    v_b      = A_b^{-1} (m h - A_j v_j)             (h, v_j analytic; q via dA)
+    v_ee     = J_ee v                               (dJ/dq . v + J dv/dq)
+
+RK2 sensitivity is chained exactly from the two stage Jacobians:
+    x1 = x + dt/2 f(x,u);  F = x + dt f(x1, u)
+    A  = I + dt Jx(x1) (I + dt/2 Jx(x));  B = dt (Jx(x1) dt/2 Ju(x) + Ju(x1))
+
+Validated bit-for-bit against the pure-AD path (tests/test_linearize.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..model.centroidal import (
+    CentroidalModelInfo,
+    get_contact_forces,
+    get_joint_velocities,
+    get_normalized_momentum,
+)
+from ..model.kinematics import (
+    body_com_positions,
+    forward_kinematics,
+    frame_position,
+    stacked_point_jacobians,
+)
+from ..model.robot_model import RobotModel
+from ..utils.rotations import skew
+from .problem import (
+    NUM_CONTACTS,
+    LinearizedNode,
+    NodeRefs,
+    OcpSettings,
+    _barrier_hessian_u,
+    friction_cone_values,
+    node_cost,
+    relaxed_barrier,
+)
+
+GRAVITY = jnp.asarray((0.0, 0.0, -9.81))
+
+
+class ConfigTerms(NamedTuple):
+    p_ee: jnp.ndarray  # (nc, 3)
+    com: jnp.ndarray  # (3,)
+    A: jnp.ndarray  # (6, nv)
+    J_ee: jnp.ndarray  # (nc, 3, nv) linear rows
+
+
+def config_terms(model: RobotModel, info: CentroidalModelInfo, q) -> ConfigTerms:
+    from ..model.centroidal import centroidal_momentum_matrix
+
+    kin = forward_kinematics(model, q)
+    p_ee = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
+    coms = body_com_positions(model, kin)
+    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
+    anc = model.ancestor_mask()[[model.frame_body[fid] for fid in info.contact_frame_ids]]
+    J_ee = stacked_point_jacobians(model, kin, p_ee, anc)[:, :3, :]
+    A = centroidal_momentum_matrix(model, q)
+    return ConfigTerms(p_ee=p_ee, com=com, A=A, J_ee=J_ee)
+
+
+class FlowJac(NamedTuple):
+    f: jnp.ndarray  # (nx,) flow value
+    Jx: jnp.ndarray  # (nx, nx)
+    Ju: jnp.ndarray  # (nx, nu)
+    terms: ConfigTerms
+    dterms: ConfigTerms  # d/dq of each term, trailing axis nq_joint-like (ngen)
+    v: jnp.ndarray  # (nv,) generalized velocity at this point
+    Ab_inv: jnp.ndarray  # (6, 6)
+
+
+def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
+    nx, nu = info.state_dim, info.input_dim
+    nv = info.generalized_dim
+    nj = info.nj
+    m = info.robot_mass
+    q = x[6:]
+    h = m * get_normalized_momentum(x)
+    forces = get_contact_forces(u, info)  # (nc, 3)
+    v_j = get_joint_velocities(u, info)
+
+    terms, dterms = _terms_and_dq(model, info, q)
+    p_ee, com, A = terms.p_ee, terms.com, terms.A
+    A_b, A_j = A[:, :6], A[:, 6:]
+    Ab_inv = jnp.linalg.inv(A_b)
+    v_b = Ab_inv @ (h - A_j @ v_j)
+    v = jnp.concatenate([v_b, v_j])
+
+    # ---- value
+    hdot_lin = GRAVITY + jnp.sum(forces, axis=0) / m
+    rel = p_ee - com
+    hdot_ang = jnp.sum(jnp.cross(rel, forces), axis=0) / m
+    f = jnp.concatenate([hdot_lin, hdot_ang, v_b, v_j])
+
+    # ---- Jx (w.r.t. x = [h/m (6), q (nv)])
+    Jx = jnp.zeros((nx, nx))
+    # hdot_ang w.r.t. q: sum (dp_i - dcom) x F_i / m
+    drel = dterms.p_ee - dterms.com[None]  # (nc, 3, nv)
+    cross_dq = jnp.cross(drel.transpose(0, 2, 1), forces[:, None, :])  # (nc, nv, 3)
+    Jx = Jx.at[3:6, 6:].set(jnp.sum(cross_dq, axis=0).T / m)
+    # x stores h/m, and v_b = Ab_inv (m * x_h - A_j v_j) => dv_b/dx_h = m Ab_inv
+    Jx = Jx.at[6:12, 0:6].set(m * Ab_inv)
+    # v_b w.r.t. q: -Ab_inv (dA/dq . v)[:6]
+    dA_v = jnp.einsum("ivq,v->iq", dterms.A, v)  # (6, nv)
+    Jx = Jx.at[6:12, 6:].set(-Ab_inv @ dA_v)
+
+    # ---- Ju (w.r.t. u = [F (3nc), v_j (nj)])
+    Ju = jnp.zeros((nx, nu))
+    eye3m = jnp.tile(jnp.eye(3) / m, (1, NUM_CONTACTS))
+    Ju = Ju.at[0:3, : 3 * NUM_CONTACTS].set(eye3m)
+    skews = jax.vmap(skew)(rel) / m  # (nc, 3, 3)
+    Ju = Ju.at[3:6, : 3 * NUM_CONTACTS].set(
+        jnp.concatenate([skews[i] for i in range(NUM_CONTACTS)], axis=1)
+    )
+    Ju = Ju.at[6:12, 3 * NUM_CONTACTS :].set(-Ab_inv @ A_j)
+    Ju = Ju.at[12:, 3 * NUM_CONTACTS :].set(jnp.eye(nj))
+    return FlowJac(f=f, Jx=Jx, Ju=Ju, terms=terms, dterms=dterms, v=v, Ab_inv=Ab_inv)
+
+
+def _terms_and_dq(model, info, q):
+    """ConfigTerms and their q-Jacobians in one 16-tangent jacfwd."""
+
+    def fn(qq):
+        return config_terms(model, info, qq)
+
+    terms = fn(q)
+    dterms = jax.jacfwd(fn)(q)
+    return terms, dterms
+
+
+def _eq_jacobians(model, info: CentroidalModelInfo, settings: OcpSettings, x, u, refs: NodeRefs, fj: FlowJac):
+    """Equality residual (16,) + Jacobians using the stage-1 flow terms."""
+    nx, nu = info.state_dim, info.input_dim
+    m = info.robot_mass
+    flags = refs.contact_flags
+    gain = settings.position_error_gain
+    terms, dterms, v, Ab_inv = fj.terms, fj.dterms, fj.v, fj.Ab_inv
+    J = terms.J_ee  # (nc, 3, nv)
+    forces = get_contact_forces(u, info)
+
+    v_ee = jnp.einsum("civ,v->ci", J, v)  # (nc, 3)
+    # d v_ee / dq = (dJ/dq . v) + J_b dv_b/dq
+    dJ_v = jnp.einsum("civq,v->ciq", dterms.J_ee, v)  # (nc, 3, nv)
+    dv_b_dq = -Ab_inv @ jnp.einsum("ivq,v->iq", dterms.A, v)
+    dv_ee_dq = dJ_v + jnp.einsum("civ,vq->ciq", J[:, :, :6], dv_b_dq)
+    # d v_ee / d(h/m) and / d v_j
+    dv_ee_dh = jnp.einsum("civ,vw->ciw", J[:, :, :6], m * Ab_inv)
+    dv_b_dvj = -Ab_inv @ terms.A[:, 6:]
+    dv_ee_dvj = jnp.einsum("civ,vj->cij", J[:, :, :6], dv_b_dvj) + J[:, :, 6:]
+
+    # residual value
+    zsel = jnp.asarray([0.0, 0.0, 1.0])
+    zero_vel = v_ee + gain * (terms.p_ee * zsel)  # z-position gain rows
+    per_contact = flags[:, None] * zero_vel + (1.0 - flags[:, None]) * forces
+    nvel = (1.0 - flags) * (
+        v_ee[:, 2] - refs.swing_vref + gain * (terms.p_ee[:, 2] - refs.swing_pref)
+    )
+    e = jnp.concatenate([per_contact.reshape(-1), nvel])
+
+    # d zero_vel / dq (adds the z-position gain)
+    dzv_dq = dv_ee_dq + gain * (dterms.p_ee * zsel[None, :, None])
+    # C (16, nx): columns [h/m | q]
+    C_pc = jnp.concatenate(
+        [flags[:, None, None] * dv_ee_dh, flags[:, None, None] * dzv_dq], axis=2
+    ).reshape(3 * NUM_CONTACTS, nx)
+    C_nv = jnp.concatenate(
+        [
+            (1.0 - flags)[:, None] * dv_ee_dh[:, 2, :],
+            (1.0 - flags)[:, None] * (dv_ee_dq[:, 2, :] + gain * dterms.p_ee[:, 2, :]),
+        ],
+        axis=1,
+    )
+    C = jnp.concatenate([C_pc, C_nv], axis=0)
+
+    # D (16, nu): force rows identity for swing; velocity rows via dv_ee_dvj
+    nfc = 3 * NUM_CONTACTS
+    eyeF = jnp.eye(nfc).reshape(NUM_CONTACTS, 3, nfc)
+    D_pc_F = (1.0 - flags)[:, None, None] * eyeF
+    D_pc_vj = flags[:, None, None] * dv_ee_dvj
+    D_pc = jnp.concatenate([D_pc_F, D_pc_vj], axis=2).reshape(nfc, nu)
+    D_nv = jnp.concatenate(
+        [
+            jnp.zeros((NUM_CONTACTS, nfc)),
+            (1.0 - flags)[:, None] * dv_ee_dvj[:, 2, :],
+        ],
+        axis=1,
+    )
+    D = jnp.concatenate([D_pc, D_nv], axis=0)
+    return e, C, D
+
+
+def linearize_node_structured(
+    model: RobotModel, info: CentroidalModelInfo, settings: OcpSettings, Q, R, x, u, x_next, refs: NodeRefs
+) -> LinearizedNode:
+    dt = refs.dt
+    nx = info.state_dim
+
+    fj0 = _flow_with_jacobians(model, info, x, u)
+    if settings.integrator == "euler":
+        F = x + dt * fj0.f
+        A = jnp.eye(nx) + dt * fj0.Jx
+        B = dt * fj0.Ju
+    elif settings.integrator == "rk2":
+        x1 = x + 0.5 * dt * fj0.f
+        fj1 = _flow_with_jacobians(model, info, x1, u)
+        F = x + dt * fj1.f
+        inner = jnp.eye(nx) + 0.5 * dt * fj0.Jx
+        A = jnp.eye(nx) + dt * fj1.Jx @ inner
+        B = dt * (0.5 * dt * fj1.Jx @ fj0.Ju + fj1.Ju)
+    else:
+        raise NotImplementedError(f"structured linearization for {settings.integrator}")
+    c = F - x_next
+
+    e, C, D = _eq_jacobians(model, info, settings, x, u, refs, fj0)
+
+    # cost terms (no FK involved; same as problem.linearize_node)
+    dx_dev = x - refs.x_nom
+    du_dev = u - refs.u_nom
+    Qxx = dt * Q
+    Quu = dt * R + _barrier_hessian_u(settings, info, u, refs)
+    Qux = jnp.zeros((u.shape[0], x.shape[0]))
+    cones = friction_cone_values(settings, u, info)
+    pen = relaxed_barrier(cones, settings.barrier_mu, settings.barrier_delta)
+    cost_val = dt * (
+        0.5 * dx_dev @ Q @ dx_dev + 0.5 * du_dev @ R @ du_dev + jnp.sum(refs.contact_flags * pen)
+    )
+    qx = dt * (Q @ dx_dev)
+    qu = dt * (R @ du_dev) + _barrier_grad_u(settings, info, u, refs)
+    return LinearizedNode(A=A, B=B, c=c, C=C, D=D, e=e, Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu, cost=cost_val)
+
+
+def _barrier_grad_u(settings, info, u, refs):
+    pen = lambda uu: refs.dt * jnp.sum(
+        refs.contact_flags
+        * relaxed_barrier(
+            friction_cone_values(settings, uu, info), settings.barrier_mu, settings.barrier_delta
+        )
+    )
+    return jax.grad(pen)(u)
+
+
+# ---------------------------------------------------------------- value path
+def _flow_from_terms(info: CentroidalModelInfo, terms: ConfigTerms, x, u):
+    """Flow value + generalized velocity from precomputed ConfigTerms."""
+    m = info.robot_mass
+    h = m * get_normalized_momentum(x)
+    forces = get_contact_forces(u, info)
+    v_j = get_joint_velocities(u, info)
+    A_b, A_j = terms.A[:, :6], terms.A[:, 6:]
+    v_b = jnp.linalg.solve(A_b, h - A_j @ v_j)
+    hdot_lin = GRAVITY + jnp.sum(forces, axis=0) / m
+    hdot_ang = jnp.sum(jnp.cross(terms.p_ee - terms.com, forces), axis=0) / m
+    f = jnp.concatenate([hdot_lin, hdot_ang, v_b, v_j])
+    return f, jnp.concatenate([v_b, v_j])
+
+
+def _eq_from_terms(settings: OcpSettings, terms: ConfigTerms, v, u, info, refs: NodeRefs):
+    flags = refs.contact_flags
+    gain = settings.position_error_gain
+    forces = get_contact_forces(u, info)
+    v_ee = jnp.einsum("civ,v->ci", terms.J_ee, v)
+    zsel = jnp.asarray([0.0, 0.0, 1.0])
+    zero_vel = v_ee + gain * (terms.p_ee * zsel)
+    per_contact = flags[:, None] * zero_vel + (1.0 - flags[:, None]) * forces
+    nvel = (1.0 - flags) * (
+        v_ee[:, 2] - refs.swing_vref + gain * (terms.p_ee[:, 2] - refs.swing_pref)
+    )
+    return jnp.concatenate([per_contact.reshape(-1), nvel])
+
+
+def node_eval(model, info: CentroidalModelInfo, settings: OcpSettings, Q, R, x, u, x_next, refs: NodeRefs):
+    """(cost, defect (nx,), masked eq (16,)) with exactly two FK/CMM passes
+    per node (RK2 stages; the equality residual reuses the first)."""
+    dt = refs.dt
+    q = x[6:]
+    terms0 = config_terms(model, info, q)
+    f0, v0 = _flow_from_terms(info, terms0, x, u)
+    if settings.integrator == "euler":
+        F = x + dt * f0
+    else:  # rk2
+        x1 = x + 0.5 * dt * f0
+        terms1 = config_terms(model, info, x1[6:])
+        f1, _ = _flow_from_terms(info, terms1, x1, u)
+        F = x + dt * f1
+    defect = F - x_next
+
+    eq = _eq_from_terms(settings, terms0, v0, u, info, refs)
+    mask = jnp.concatenate([jnp.ones(12), 1.0 - refs.contact_flags])
+    eq = mask * eq
+
+    dx_dev = x - refs.x_nom
+    du_dev = u - refs.u_nom
+    cones = friction_cone_values(settings, u, info)
+    pen = relaxed_barrier(cones, settings.barrier_mu, settings.barrier_delta)
+    cost = dt * (
+        0.5 * dx_dev @ Q @ dx_dev
+        + 0.5 * du_dev @ R @ du_dev
+        + jnp.sum(refs.contact_flags * pen)
+    )
+    return cost, defect, eq

@@ -19,12 +19,12 @@ import jax.numpy as jnp
 
 from ..model.centroidal import CentroidalModelInfo
 from ..model.robot_model import RobotModel
+from ..ocp.linearize import linearize_node_structured, node_eval
 from ..ocp.problem import (
     NodeRefs,
     OcpSettings,
     discrete_dynamics,
     equality_residual,
-    linearize_node,
     make_node_refs,
     node_cost,
     weight_compensating_input,
@@ -73,18 +73,21 @@ def _merit(model, info, settings, Q, R, xs, us, refs: NodeRefs):
 
 
 def _performance(model, info, settings, Q, R, xs, us, refs: NodeRefs):
-    """(cost, squared-violation ISE) — the filter-linesearch metrics
-    (OCS2 PerformanceIndex: dynamicsViolationSSE + equalityConstraintsSSE)."""
+    """(cost, squared-violation ISE, l1 defect, l1 eq) in one horizon pass
+    (OCS2 PerformanceIndex: dynamicsViolationSSE + equalityConstraintsSSE;
+    the l1 norms feed the solution diagnostics without a second pass)."""
 
     def per_node(x, u, x_next, ref):
-        c = ref.dt * node_cost(model, info, settings, Q, R, x, u, ref)
-        defect = discrete_dynamics(model, info, settings, x, u, ref.dt) - x_next
-        e = equality_residual(model, info, settings, x, u, ref)
-        mask = eq_mask_from_flags(ref.contact_flags)
-        return c, jnp.sum(defect**2) + jnp.sum((mask * e) ** 2)
+        c, defect, e = node_eval(model, info, settings, Q, R, x, u, x_next, ref)
+        return (
+            c,
+            jnp.sum(defect**2) + jnp.sum(e**2),
+            jnp.sum(jnp.abs(defect)),
+            jnp.sum(jnp.abs(e)),
+        )
 
-    costs, viols = jax.vmap(per_node)(xs[:-1], us, xs[1:], refs)
-    return jnp.sum(costs), jnp.sum(viols)
+    costs, viols, d1, e1 = jax.vmap(per_node)(xs[:-1], us, xs[1:], refs)
+    return jnp.sum(costs), jnp.sum(viols), jnp.sum(d1), jnp.sum(e1)
 
 
 def _filter_accept(cost_base, viol_base, cost_step, viol_step):
@@ -120,7 +123,9 @@ def sqp_solve(
     xs = xs.at[0].set(x_init)
 
     lin_fn = jax.vmap(
-        lambda x, u, xn, ref: linearize_node(model, info, settings, Q, R, x, u, xn, ref)
+        lambda x, u, xn, ref: linearize_node_structured(
+            model, info, settings, Q, R, x, u, xn, ref
+        )
     )
 
     step_size = jnp.asarray(1.0)
@@ -138,17 +143,17 @@ def sqp_solve(
             us_a = us + a * sol.du
             return _performance(model, info, settings, Q, R, xs_a, us_a, refs)
 
-        costs_a, viols_a = jax.vmap(try_alpha)(alphas)
+        costs_a, viols_a, d1_a, e1_a = jax.vmap(try_alpha)(alphas)
         cost0, viol0 = costs_a[-1], viols_a[-1]  # alpha = 0 entry
         accepted = _filter_accept(cost0, viol0, costs_a, viols_a)
         # largest accepted alpha (alphas sorted descending); fall back to 0
         idx = jnp.argmax(accepted)
         any_ok = jnp.any(accepted[:-1])
-        step_size = jnp.where(any_ok, alphas[idx], 0.0)
+        sel = jnp.where(any_ok, idx, len(_LINESEARCH_ALPHAS) - 1)
+        step_size = alphas[sel]
         xs = xs + step_size * sol.dx
         us = us + step_size * sol.du
-
-    cost, defect, eq = _merit(model, info, settings, Q, R, xs, us, refs)
+        cost, defect, eq = costs_a[sel], d1_a[sel], e1_a[sel]
     # Feedback gains from the last QP (real-time-iteration practice: OCS2
     # likewise publishes the gains of the QP it just solved).
     return SqpSolution(
