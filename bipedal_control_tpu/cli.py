@@ -18,7 +18,7 @@ import numpy as np
 
 
 def _add_robot_arg(p):
-    p.add_argument("--robot", default="h1", choices=["h1", "hunter", "openloong"])
+    p.add_argument("--robot", default="h1", choices=["h1", "g1", "hunter", "openloong"])
 
 
 def cmd_plan(args):

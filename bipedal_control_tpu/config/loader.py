@@ -77,6 +77,9 @@ class TaskConfig:
     default_gait: ModeSequenceTemplate = None
     # gait.info
     gait_library: dict[str, ModeSequenceTemplate] = dataclasses.field(default_factory=dict)
+    # optional massless contact frames (name -> (parent link, xyz)) for robots
+    # whose URDF lacks sole links (e.g. Unitree G1)
+    extra_frames: dict = dataclasses.field(default_factory=dict)
 
     @property
     def num_joints(self) -> int:
@@ -144,6 +147,14 @@ def load_task_config(task_file: str, reference_file: str, gait_file: str | None 
         weight_contact_force=info.get_scalar(t, "weight.contactForce", 0.01),
     )
 
+    extra_frames = {}
+    ef_node = info.get_node(t, "extra_frames")
+    if isinstance(ef_node, dict):
+        for fname, sub in ef_node.items():
+            if isinstance(sub, dict) and "parent" in sub:
+                xyz = tuple(float(v) for v in str(sub.get("xyz", "0 0 0")).split())
+                extra_frames[fname] = (sub["parent"], xyz)
+
     cfg = TaskConfig(
         joint_names=joint_names,
         contact_names=contact_names,
@@ -169,6 +180,7 @@ def load_task_config(task_file: str, reference_file: str, gait_file: str | None 
         ),
         target_displacement_velocity=info.get_scalar(r, "targetDisplacementVelocity", 0.5),
         target_rotation_velocity=info.get_scalar(r, "targetRotationVelocity", 0.3),
+        extra_frames=extra_frames,
     )
     # initial mode schedule + default gait template
     init_modes = [

@@ -73,7 +73,7 @@ def make_interface(
     task = load_task_config(task_file, reference_file, gait_file)
     # Upper-body joints are welded at zero like the reference's reduced
     # pinocchio model (createPinocchioInterface with jointNames).
-    desc = load_urdf(urdf_path, task.joint_names)
+    desc = load_urdf(urdf_path, task.joint_names, extra_frames=task.extra_frames or None)
     model = from_description(desc)
     info = make_info(model, task.contact_names)
     R = build_input_cost_weight(model, info, task.R_task, task.initial_state)

@@ -192,8 +192,14 @@ def build_reduced_model(
     urdf_text: str,
     actuated_joint_names: list[str],
     locked_joint_positions: dict[str, float] | None = None,
+    extra_frames: dict[str, tuple[str, tuple[float, float, float]]] | None = None,
 ) -> RobotDescription:
-    """Build the reduced floating-base model (see module docstring)."""
+    """Build the reduced floating-base model (see module docstring).
+
+    extra_frames: name -> (parent link, xyz offset) massless frames to attach
+    (e.g. toe/heel contact points for robots whose URDF lacks sole links,
+    like the Unitree G1).
+    """
     locked_joint_positions = locked_joint_positions or {}
     robot_name, links, joints = _parse_urdf_xml(urdf_text)
 
@@ -249,6 +255,13 @@ def build_reduced_model(
 
     visit(root_link, 0, np.eye(3), np.zeros(3))
 
+    for fname, (parent_link, xyz) in (extra_frames or {}).items():
+        hit = [(n, b, R, p) for (n, b, R, p) in frames if n == parent_link]
+        if not hit:
+            raise ValueError(f"extra frame parent link '{parent_link}' not found")
+        _, b, R, p = hit[0]
+        frames.append((fname, b, R.copy(), p + R @ np.asarray(xyz, dtype=float)))
+
     # Reorder moving joints to the requested order (must stay topological).
     order = [next(i for i, j in enumerate(joint_rows) if j.name == name) for name in actuated_joint_names]
     old_to_new_body = {0: 0}
@@ -274,8 +287,8 @@ def build_reduced_model(
     # accumulate inertia about each body origin, then shift to combined com
     body_inertia_origin = np.zeros((nb, 3, 3))
     for name, b, R, p in frames:
-        link = links[name]
-        if link.mass == 0.0:
+        link = links.get(name)  # extra (massless) frames have no link entry
+        if link is None or link.mass == 0.0:
             continue
         c_w = R @ link.com + p  # com in body frame
         I_b = R @ link.inertia @ R.T  # about link com, body-frame axes
@@ -313,6 +326,10 @@ def build_reduced_model(
     )
 
 
-def load_urdf(path: str, actuated_joint_names: list[str], locked_joint_positions=None) -> RobotDescription:
+def load_urdf(
+    path: str, actuated_joint_names: list[str], locked_joint_positions=None, extra_frames=None
+) -> RobotDescription:
     with open(path) as f:
-        return build_reduced_model(f.read(), actuated_joint_names, locked_joint_positions)
+        return build_reduced_model(
+            f.read(), actuated_joint_names, locked_joint_positions, extra_frames
+        )

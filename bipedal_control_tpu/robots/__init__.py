@@ -59,9 +59,12 @@ REGISTRY: dict[str, RobotAssets] = {
     "g1": RobotAssets(
         name="g1",
         urdf=_example("unitree_g1/g1_description/g1.urdf"),
-        task_info=None,  # description-only in the reference (SURVEY §2 item 34)
-        reference_info=None,
-        gait_info=None,
+        # the reference ships description only (SURVEY §2 item 34); this repo
+        # authors the missing task configs under configs/g1/
+        task_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/task.info"),
+        reference_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/reference.info"),
+        gait_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/gait.info"),
+        mjcf=_example("unitree_g1/g1_description/scene.xml"),
     ),
 }
 

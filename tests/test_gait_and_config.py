@@ -137,7 +137,7 @@ def test_interface_h1_builds():
 
 
 @pytest.mark.skipif(not os.path.exists(H1_TASK), reason="reference assets unavailable")
-@pytest.mark.parametrize("robot", ["hunter", "openloong"])
+@pytest.mark.parametrize("robot", ["hunter", "openloong", "g1"])
 def test_interface_other_robots_build(robot):
     from bipedal_control_tpu.interface import make_interface_for
 

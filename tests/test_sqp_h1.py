@@ -139,3 +139,33 @@ def test_h1_warm_start_improves(h1_iface):
     assert float(sol1.defect_norm) < 0.1
     assert float(sol1.eq_norm) < 0.5
     assert float(sol1.step_size) >= 0.5
+
+
+def test_g1_trot_solve():
+    """G1 (our authored config; BASELINE config 2): gait-switching solve."""
+    import dataclasses
+
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.solver import build_refs, initial_trajectory, sqp_solve
+
+    iface = make_interface_for("g1")
+    settings = dataclasses.replace(iface.settings, sqp_iterations=1)
+    rm = iface.make_reference_manager()
+    rm.set_gait(iface.task.gait_library["trot"], start_time=0.2)
+    x0 = jnp.asarray(iface.initial_state)
+    frozen = rm.freeze(0.0)
+    t_nodes = jnp.asarray(frozen.t_nodes)
+    refs = build_refs(iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
+    xs, us = initial_trajectory(iface.info, refs, x0, settings.num_intervals + 1)
+    solve = jax.jit(
+        lambda refs, t, x, xs, us: sqp_solve(
+            iface.model, iface.info, settings, iface.Q, iface.R, refs, t, x, xs, us
+        )
+    )
+    for _ in range(5):
+        sol = solve(refs, t_nodes, x0, xs, us)
+        xs, us = sol.x_traj, sol.u_traj
+    assert float(sol.defect_norm) < 5e-2, float(sol.defect_norm)
+    assert float(sol.eq_norm) < 5e-2, float(sol.eq_norm)
+    base = np.asarray(sol.x_traj[:, 6:12])
+    np.testing.assert_allclose(base[:, 2], 0.665, atol=0.05)
