@@ -31,7 +31,7 @@ from ..ocp.problem import (
 )
 from .riccati import solve_lqr
 
-_LINESEARCH_ALPHAS = (1.0, 0.5, 0.25, 0.0)
+_LINESEARCH_ALPHAS = (1.0, 0.5, 0.25)  # alpha=0 baseline comes free from the linearization
 # Filter-linesearch bands on the squared constraint violation (ISE), matching
 # the reference solver settings (task.info sqp.g_max 1e-2 / g_min 1e-6).
 _G_MAX = 1e-2
@@ -144,16 +144,22 @@ def sqp_solve(
             return _performance(model, info, settings, Q, R, xs_a, us_a, refs)
 
         costs_a, viols_a, d1_a, e1_a = jax.vmap(try_alpha)(alphas)
-        cost0, viol0 = costs_a[-1], viols_a[-1]  # alpha = 0 entry
+        # alpha = 0 baseline from the node data the linearization already holds
+        e_masked = masks * nodes.e
+        cost0 = jnp.sum(nodes.cost)
+        viol0 = jnp.sum(nodes.c**2) + jnp.sum(e_masked**2)
+        d1_0 = jnp.sum(jnp.abs(nodes.c))
+        e1_0 = jnp.sum(jnp.abs(e_masked))
         accepted = _filter_accept(cost0, viol0, costs_a, viols_a)
         # largest accepted alpha (alphas sorted descending); fall back to 0
         idx = jnp.argmax(accepted)
-        any_ok = jnp.any(accepted[:-1])
-        sel = jnp.where(any_ok, idx, len(_LINESEARCH_ALPHAS) - 1)
-        step_size = alphas[sel]
+        any_ok = jnp.any(accepted)
+        step_size = jnp.where(any_ok, alphas[idx], 0.0)
         xs = xs + step_size * sol.dx
         us = us + step_size * sol.du
-        cost, defect, eq = costs_a[sel], d1_a[sel], e1_a[sel]
+        cost = jnp.where(any_ok, costs_a[idx], cost0)
+        defect = jnp.where(any_ok, d1_a[idx], d1_0)
+        eq = jnp.where(any_ok, e1_a[idx], e1_0)
     # Feedback gains from the last QP (real-time-iteration practice: OCS2
     # likewise publishes the gains of the QP it just solved).
     return SqpSolution(

@@ -162,7 +162,7 @@ def test_g1_trot_solve():
             iface.model, iface.info, settings, iface.Q, iface.R, refs, t, x, xs, us
         )
     )
-    for _ in range(5):
+    for _ in range(8):
         sol = solve(refs, t_nodes, x0, xs, us)
         xs, us = sol.x_traj, sol.u_traj
     assert float(sol.defect_norm) < 5e-2, float(sol.defect_norm)
