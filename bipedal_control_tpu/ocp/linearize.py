@@ -219,11 +219,19 @@ def linearize_node_structured(
         B = dt * fj0.Ju
     elif settings.integrator == "rk2":
         x1 = x + 0.5 * dt * fj0.f
-        fj1 = _flow_with_jacobians(model, info, x1, u)
-        F = x + dt * fj1.f
         inner = jnp.eye(nx) + 0.5 * dt * fj0.Jx
-        A = jnp.eye(nx) + dt * fj1.Jx @ inner
-        B = dt * (0.5 * dt * fj1.Jx @ fj0.Ju + fj1.Ju)
+        if settings.exact_rk2_sensitivity:
+            fj1 = _flow_with_jacobians(model, info, x1, u)
+            F = x + dt * fj1.f
+            A = jnp.eye(nx) + dt * fj1.Jx @ inner
+            B = dt * (0.5 * dt * fj1.Jx @ fj0.Ju + fj1.Ju)
+        else:
+            # exact value, same-point sensitivity (see OcpSettings)
+            terms1 = config_terms(model, info, x1[6:])
+            f1, _ = _flow_from_terms(info, terms1, x1, u)
+            F = x + dt * f1
+            A = jnp.eye(nx) + dt * fj0.Jx @ inner
+            B = dt * (0.5 * dt * fj0.Jx @ fj0.Ju + fj0.Ju)
     else:
         raise NotImplementedError(f"structured linearization for {settings.integrator}")
     c = F - x_next

@@ -53,6 +53,10 @@ class OcpSettings:
     gripper_force: float = 0.0
     position_error_gain: float = 0.0  # model_settings.positionErrorGain
     integrator: str = "rk2"  # euler | rk2 | rk4
+    # exact RK2 sensitivity needs a second 16-tangent jacfwd at the midpoint;
+    # the O(dt^2) same-point approximation halves linearization cost while the
+    # defect *values* stay exact (Gauss-Newton fixed points unchanged).
+    exact_rk2_sensitivity: bool = False
 
     @property
     def num_intervals(self) -> int:

@@ -12,7 +12,7 @@ def test_structured_matches_ad(h1_model, h1_info, rng, flags):
     model, info = h1_model, h1_info
     from bipedal_control_tpu.ocp.problem import OcpSettings
 
-    settings = OcpSettings(position_error_gain=0.3)
+    settings = OcpSettings(position_error_gain=0.3, exact_rk2_sensitivity=True)
     Q = jnp.asarray(np.diag(rng.uniform(1, 10, info.state_dim)))
     R = jnp.asarray(np.diag(rng.uniform(0.01, 1, info.input_dim)))
     x = jnp.asarray(
