@@ -43,7 +43,12 @@ def main():
     n_chips = len(jax.devices())
 
     iface = make_interface_for("h1")
-    settings = dataclasses.replace(iface.settings, sqp_iterations=1)
+    alphas = tuple(
+        float(a) for a in os.environ.get("BENCH_ALPHAS", "1.0,0.5").split(",")
+    )
+    settings = dataclasses.replace(
+        iface.settings, sqp_iterations=1, linesearch_alphas=alphas
+    )
     rm = iface.make_reference_manager()
     rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
     frozen = rm.freeze(0.0)

@@ -57,6 +57,9 @@ class OcpSettings:
     # the O(dt^2) same-point approximation halves linearization cost while the
     # defect *values* stay exact (Gauss-Newton fixed points unchanged).
     exact_rk2_sensitivity: bool = False
+    # filter-linesearch step candidates (alpha=0 fallback is implicit); a
+    # warm-started RTI deployment can run just (1.0, 0.5) or (1.0,)
+    linesearch_alphas: tuple = (1.0, 0.5, 0.25)
 
     @property
     def num_intervals(self) -> int:

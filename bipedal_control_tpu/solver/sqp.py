@@ -31,7 +31,6 @@ from ..ocp.problem import (
 )
 from .riccati import solve_lqr
 
-_LINESEARCH_ALPHAS = (1.0, 0.5, 0.25)  # alpha=0 baseline comes free from the linearization
 # Filter-linesearch bands on the squared constraint violation (ISE), matching
 # the reference solver settings (task.info sqp.g_max 1e-2 / g_min 1e-6).
 _G_MAX = 1e-2
@@ -136,7 +135,7 @@ def sqp_solve(
         sol = solve_lqr(nodes, masks, dx0=jnp.zeros_like(x_init))
         gains = sol.K
 
-        alphas = jnp.asarray(_LINESEARCH_ALPHAS)
+        alphas = jnp.asarray(settings.linesearch_alphas)
 
         def try_alpha(a):
             xs_a = xs + a * sol.dx
