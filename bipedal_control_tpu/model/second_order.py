@@ -1,0 +1,195 @@
+"""Analytic second-order kinematics: d(Jacobian)/dq and d(CMM)/dq tensors.
+
+Replaces the 16-tangent jacfwd over config_terms in the OCP linearization
+with closed-form velocity-field algebra (the role Pinocchio's analytical
+derivatives play for the reference's CppAD pipeline).
+
+Every generalized coordinate k defines a rigid velocity field
+    v_k(p) = v0_k + w_k x p
+with (w_k, v0_k) world-frame field parameters:
+    translation   : w = 0,        v0 = e_k
+    Euler i       : w = E[:, i],  v0 = -E[:, i] x p_base
+    revolute j    : w = a_j,      v0 = -a_j x p_j
+    prismatic j   : w = 0,        v0 = a_j
+
+A point-Jacobian column is J[:,k](p, body) = anc(body,k) (v0_k + w_k x p),
+and its q-derivative follows from the field derivatives
+
+    dw_k/dq_l  = rot(k,l) (w_l x w_k)
+    dv0_k/dq_l = product rule on the anchor point (anchors move with the
+                 field of their own ancestors; Euler fields differentiate
+                 through E(theta)).
+
+The masks (which coordinate rotates which axis / moves which anchor / moves
+which body) are all static, so everything assembles into a handful of
+einsums over (coordinate, coordinate, 3) tensors.
+
+Validated against jacfwd of config_terms (tests/test_second_order.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .kinematics import BodyKin, _joint_world_axes, body_com_positions
+from .robot_model import RobotModel
+from .urdf import JOINT_REVOLUTE
+
+
+class FieldData(NamedTuple):
+    w: jnp.ndarray  # (nv, 3) angular field direction
+    v0: jnp.ndarray  # (nv, 3) linear field at the world origin
+    dw: jnp.ndarray  # (nv, nv, 3) dw_k/dq_l  (k, l, 3)
+    dv0: jnp.ndarray  # (nv, nv, 3)
+
+
+def _static_masks(model: RobotModel):
+    """(rot_mask (nv,nv), move_mask (nb,nv), body_rot (nb,nv)) static numpy.
+
+    rot_mask[k,l]: coordinate l rotates the axis of coordinate k.
+    move_mask[b,l] == ancestor mask extended with base columns: l moves body b.
+    body_rot[b,l]: l rotates body b (no translation columns).
+    """
+    nv, nj, nb = model.nv, model.nj, model.nb
+    anc = model.ancestor_mask()  # (nb, nj)
+    move = np.zeros((nb, nv), dtype=bool)
+    move[:, 0:6] = True  # base translation + rotation move every body
+    move[:, 6:] = anc
+    body_rot = move.copy()
+    body_rot[:, 0:3] = False  # translations do not rotate
+    rot = np.zeros((nv, nv), dtype=bool)
+    # Euler coordinate i's axis (E column) rotates with earlier Euler coords
+    for i in range(3):
+        for l in range(i):
+            rot[3 + i, 3 + l] = True
+    # joint k axis rotates with every coordinate that rotates its body
+    for j in range(nj):
+        rot[6 + j, :] = body_rot[j + 1, :]
+        rot[6 + j, 6 + j] = False  # own rotation leaves the axis fixed
+    return rot, move, body_rot
+
+
+def velocity_fields(model: RobotModel, kin: BodyKin) -> FieldData:
+    nv, nj = model.nv, model.nj
+    rot_mask, move_mask, _ = _static_masks(model)
+    rot_mask = jnp.asarray(rot_mask.astype(kin.p.dtype))
+    axes, anchors = _joint_world_axes(model, kin)
+    rev = jnp.asarray(
+        np.asarray([t == JOINT_REVOLUTE for t in model.joint_type], dtype=np.float64),
+        dtype=kin.p.dtype,
+    )
+    p_b = kin.p[0]
+    E = kin.E
+
+    w = jnp.concatenate([jnp.zeros((3, 3)), E.T, rev[:, None] * axes], axis=0)  # (nv,3)
+    v0_base_t = jnp.eye(3)
+    v0_euler = -jnp.cross(E.T, p_b[None, :])
+    v0_joint = rev[:, None] * (-jnp.cross(axes, anchors)) + (1 - rev)[:, None] * axes
+    v0 = jnp.concatenate([v0_base_t, v0_euler, v0_joint], axis=0)
+
+    # dw[k, l] = rot(k,l) * (w_l x w_k)
+    dw = rot_mask[:, :, None] * jnp.cross(w[None, :, :], w[:, None, :])
+
+    # anchor-point jacobian columns: danchor_k/dq_l
+    # anchors: joint k>=6 -> p_{k-6} on body k-5; Euler -> p_base; transl: none
+    # danchor for joints: move_mask(body jk+1, l) * v_l(anchor)
+    move_j = jnp.asarray(move_mask[1:, :].astype(kin.p.dtype))  # (nj, nv) body j+1
+    v_l_at_anchor = v0[None, :, :] + jnp.cross(
+        w[None, :, :], anchors[:, None, :]
+    )  # (nj, nv, 3): v_l(p_j)
+    danchor = move_j[:, :, None] * v_l_at_anchor  # (nj, nv, 3)
+    # base origin: d p_b / dq_l = e_l for l < 3
+    dp_b = jnp.concatenate([jnp.eye(3), jnp.zeros((nv - 3, 3))], axis=0)  # (nv, 3)
+
+    # dv0:
+    dv0 = jnp.zeros((nv, nv, 3))
+    # Euler rows k = 3 + i: v0_k = -w_k x p_b
+    dw_euler = dw[3:6]  # (3, nv, 3)
+    w_euler = w[3:6]
+    term = -jnp.cross(dw_euler, p_b[None, None, :]) - jnp.cross(
+        w_euler[:, None, :], dp_b[None, :, :]
+    )
+    dv0 = dv0.at[3:6].set(term)
+    # joint rows k = 6 + j:
+    #   revolute: v0 = -a_j x p_j  -> -da x p - a x dp
+    #   prismatic: v0 = a_j -> dv0 = da (da = dw formula with rot mask of the axis)
+    rotj = jnp.asarray(_static_masks(model)[0][6:, :].astype(kin.p.dtype))  # (nj, nv)
+    da = rotj[:, :, None] * jnp.cross(w[None, :, :], axes[:, None, :])  # (nj, nv, 3)
+    dv0_rev = -jnp.cross(da, anchors[:, None, :]) - jnp.cross(axes[:, None, :], danchor)
+    dv0_j = rev[:, None, None] * dv0_rev + (1 - rev)[:, None, None] * da
+    dv0 = dv0.at[6:].set(dv0_j)
+    return FieldData(w=w, v0=v0, dw=dw, dv0=dv0)
+
+
+def point_jacobian_derivatives(model: RobotModel, fields: FieldData, points, dpoints, move_masks):
+    """d/dq of stacked point Jacobians.
+
+    points: (m, 3); dpoints: (m, 3, nv) = dp/dq (i.e. the linear Jacobian of
+    each point); move_masks: static (m, nv) bool "coordinate k moves point".
+    Returns (dJv, dJw): (m, 3, nv, nv) with [i, :, k, l] = d J[:,k] / dq_l.
+    """
+    mask = jnp.asarray(np.asarray(move_masks, dtype=np.float64), dtype=points.dtype)
+    # dcol_k/dq_l = dv0[k,l] + dw[k,l] x p + w_k x dp/dq_l
+    # fields.dv0/dw: (nv, nv, 3); points: (m, 3)
+    term_field = fields.dv0[None] + jnp.cross(fields.dw[None], points[:, None, None, :])
+    term_motion = jnp.cross(
+        fields.w[None, :, None, :], dpoints.transpose(0, 2, 1)[:, None, :, :]
+    )  # (m, nv_k, nv_l, 3)
+    dJv = (term_field + term_motion) * mask[:, :, None, None]  # (m, nv, nv, 3)
+    dJw = fields.dw[None] * mask[:, :, None, None]
+    # reorder to (m, 3, nv_k, nv_l)
+    return dJv.transpose(0, 3, 1, 2), dJw.transpose(0, 3, 1, 2)
+
+
+def cmm_derivative(model: RobotModel, kin: BodyKin, fields: FieldData):
+    """dA/dq: (6, nv, nv) with [:, k, l] = d A[:, k] / dq_l."""
+    _, move_mask, body_rot = _static_masks(model)
+    coms = body_com_positions(model, kin)
+    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
+
+    from .kinematics import stacked_point_jacobians
+
+    J = stacked_point_jacobians(model, kin, coms, model.ancestor_mask())  # (nb,6,nv)
+    Jv, Jw = J[:, :3, :], J[:, 3:, :]
+    dJv, dJw = point_jacobian_derivatives(model, fields, coms, Jv, move_mask)
+    I_w = jnp.einsum("bij,bjk,blk->bil", kin.R, model.body_inertia, kin.R)
+    body_rot_f = jnp.asarray(body_rot.astype(kin.p.dtype))
+    # dI_w/dq_l = rot(b,l) ([w_l] I - I [w_l])
+    wtilde = _skew_batch(fields.w)  # (nv, 3, 3)
+    comm = jnp.einsum("lij,bjk->blik", wtilde, I_w) - jnp.einsum(
+        "bij,ljk->blik", I_w, wtilde
+    )  # (nb, nv_l, 3, 3)
+    dI = body_rot_f[:, :, None, None] * comm
+
+    m_b = model.body_mass
+    dA_lin = jnp.einsum("b,bikl->ikl", m_b, dJv)  # (3, nv, nv)
+    # angular: I_w Jw + m (c_b - c) x Jv
+    dA_ang = (
+        jnp.einsum("blij,bjk->ikl", dI, Jw)
+        + jnp.einsum("bij,bjkl->ikl", I_w, dJw)
+    )
+    rel = coms - com  # (nb, 3)
+    drel = Jv - jnp.einsum(
+        "b,biv->iv", m_b, Jv
+    )[None] / model.total_mass  # (nb, 3, nv): dc_b/dq_l - dc/dq_l
+    # d[(rel) x Jv_col_k]/dq_l = drel_l x Jv_k + rel x dJv_kl
+    cross1 = jnp.cross(
+        drel.transpose(0, 2, 1)[:, None, :, :], Jv.transpose(0, 2, 1)[:, :, None, :]
+    )  # (nb, nv_k, nv_l, 3)
+    cross2 = jnp.cross(rel[:, None, None, :], dJv.transpose(0, 2, 3, 1))  # (nb, nv_k, nv_l, 3)
+    dA_ang = dA_ang + jnp.einsum("b,bkli->ikl", m_b, cross1 + cross2)
+    return jnp.concatenate([dA_lin, dA_ang], axis=0)  # (6, nv, nv)
+
+
+def _skew_batch(v):
+    z = jnp.zeros(v.shape[:-1])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
+        ],
+        axis=-2,
+    )

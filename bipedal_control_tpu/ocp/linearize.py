@@ -135,14 +135,50 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
 
 
 def _terms_and_dq(model, info, q):
-    """ConfigTerms and their q-Jacobians in one 16-tangent jacfwd."""
+    """ConfigTerms and their q-Jacobians via analytic velocity-field algebra
+    (model/second_order.py) — no forward-AD tangents through FK."""
+    import numpy as np
+
+    from ..model.second_order import (
+        cmm_derivative,
+        point_jacobian_derivatives,
+        velocity_fields,
+    )
+
+    kin = forward_kinematics(model, q)
+    p_ee = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
+    coms = body_com_positions(model, kin)
+    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
+    anc = model.ancestor_mask()[[model.frame_body[fid] for fid in info.contact_frame_ids]]
+    J6 = stacked_point_jacobians(model, kin, p_ee, anc)
+    J_ee = J6[:, :3, :]
+    from ..model.centroidal import centroidal_momentum_matrix
+
+    A = centroidal_momentum_matrix(model, q)
+    terms = ConfigTerms(p_ee=p_ee, com=com, A=A, J_ee=J_ee)
+
+    fields = velocity_fields(model, kin)
+    move = np.zeros((len(info.contact_frame_ids), model.nv), dtype=bool)
+    move[:, :6] = True
+    move[:, 6:] = anc
+    dJ_ee, _ = point_jacobian_derivatives(model, fields, p_ee, J_ee, move)
+    dA = cmm_derivative(model, kin, fields)
+    dterms = ConfigTerms(
+        p_ee=J_ee,  # dp_ee/dq is the linear Jacobian itself
+        com=A[:3, :] / info.robot_mass,  # dcom/dq = A_lin / m
+        A=dA,
+        J_ee=dJ_ee,
+    )
+    return terms, dterms
+
+
+def _terms_and_dq_ad(model, info, q):
+    """jacfwd reference implementation (kept as the test oracle)."""
 
     def fn(qq):
         return config_terms(model, info, qq)
 
-    terms = fn(q)
-    dterms = jax.jacfwd(fn)(q)
-    return terms, dterms
+    return fn(q), jax.jacfwd(fn)(q)
 
 
 def _eq_jacobians(model, info: CentroidalModelInfo, settings: OcpSettings, x, u, refs: NodeRefs, fj: FlowJac):
