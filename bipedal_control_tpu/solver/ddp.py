@@ -1,0 +1,140 @@
+"""iLQR / Gauss-Newton DDP solver path.
+
+The reference offers GaussNewtonDDP_MPC (algorithm ILQR) as an alternative to
+the SQP node (BipedalRobotDdpMpcNode.cpp:59-100; ddp block of task.info:119-156).
+This is the TPU-native equivalent, sharing the structured linearization with
+the SQP path:
+
+- single shooting: the forward pass is a *nonlinear* rollout under the
+  time-varying affine feedback policy (lax.scan), so dynamics defects vanish
+  by construction;
+- state-input equality constraints enter as a quadratic penalty folded into
+  the stage cost (ddp.constraintPenaltyInitialValue semantics) instead of the
+  SQP path's stage-KKT elimination;
+- backward pass reuses the Riccati sweep with zero constraint masks;
+- line search over feedback-rollout step sizes, all candidates in one vmap.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..model.centroidal import CentroidalModelInfo
+from ..model.robot_model import RobotModel
+from ..ocp.linearize import linearize_node_structured, node_eval
+from ..ocp.problem import NodeRefs, OcpSettings, discrete_dynamics
+from .riccati import solve_lqr
+from .sqp import SqpSolution, eq_mask_from_flags
+
+
+@dataclasses.dataclass(frozen=True)
+class DdpSettings:
+    iterations: int = 10  # ddp.maxNumIterations (per replan; RTI uses 1)
+    constraint_penalty: float = 20.0  # ddp.constraintPenaltyInitialValue
+    penalty_increase_rate: float = 2.0  # ddp.constraintPenaltyIncreaseRate
+    # lineSearch minStepLength 1e-2 / maxStepLength 1.0 (task.info:150-152)
+    alphas: tuple = (1.0, 0.3, 0.1, 0.03, 0.01)
+    # Levenberg-Marquardt Quu shift (hessianCorrectionStrategy DIAGONAL_SHIFT)
+    hessian_shift: float = 1.0
+
+
+def _penalized_nodes(nodes, masks, rho):
+    """Fold the masked equality constraints into the cost quadratics."""
+    D = masks[..., None] * nodes.D
+    C = masks[..., None] * nodes.C
+    e = masks * nodes.e
+    bt = lambda M: M.swapaxes(-1, -2)
+    return nodes._replace(
+        Qxx=nodes.Qxx + rho * bt(C) @ C,
+        Quu=nodes.Quu + rho * bt(D) @ D,
+        Qux=nodes.Qux + rho * bt(D) @ C,
+        qx=nodes.qx + rho * jnp.einsum("...ij,...i->...j", C, e),
+        qu=nodes.qu + rho * jnp.einsum("...ij,...i->...j", D, e),
+        C=jnp.zeros_like(nodes.C),
+        D=jnp.zeros_like(nodes.D),
+        e=jnp.zeros_like(nodes.e),
+    )
+
+
+def _rollout(model, info, settings, refs, x_init, x_bar, u_bar, K, k_ff, alpha):
+    """Closed-loop nonlinear rollout: u = u_bar + alpha k - K (x - x_bar)."""
+
+    def step(x, inp):
+        xb, ub, Kk, kk, ref = inp
+        u = ub - alpha * kk - Kk @ (x - xb)
+        x_next = discrete_dynamics(model, info, settings, x, u, ref.dt)
+        return x_next, (x, u)
+
+    x_last, (xs, us) = jax.lax.scan(step, x_init, (x_bar[:-1], u_bar, K, k_ff, refs))
+    return jnp.concatenate([xs, x_last[None]], axis=0), us
+
+
+def ilqr_solve(
+    model: RobotModel,
+    info: CentroidalModelInfo,
+    settings: OcpSettings,
+    ddp: DdpSettings,
+    Q,
+    R,
+    refs: NodeRefs,
+    t_nodes,
+    x_init,
+    u_warm,
+) -> SqpSolution:
+    N = u_warm.shape[0]
+    masks = eq_mask_from_flags(refs.contact_flags)
+
+    lin_fn = jax.vmap(
+        lambda x, u, xn, ref: linearize_node_structured(model, info, settings, Q, R, x, u, xn, ref)
+    )
+    eval_fn = jax.vmap(
+        lambda x, u, xn, ref: node_eval(model, info, settings, Q, R, x, u, xn, ref)
+    )
+
+    # initial open-loop rollout from the warm-start inputs
+    zeroK = jnp.zeros((N, u_warm.shape[1], x_init.shape[0]))
+    xs, us = _rollout(
+        model, info, settings, refs, x_init,
+        jnp.zeros((N + 1, x_init.shape[0])), u_warm, zeroK, jnp.zeros_like(u_warm), 0.0,
+    )
+
+    K_out = zeroK
+    rho = ddp.constraint_penalty
+    for it in range(ddp.iterations):
+        rho_it = ddp.constraint_penalty * (ddp.penalty_increase_rate ** it)
+
+        def total_merit(xs_, us_, _rho=rho_it):
+            c, _, e = eval_fn(xs_[:-1], us_, xs_[1:], refs)
+            return jnp.sum(c) + 0.5 * _rho * jnp.sum(e**2)
+
+        nodes = lin_fn(xs[:-1], us, xs[1:], refs)
+        pnodes = _penalized_nodes(nodes, masks, rho_it)
+        nu = u_warm.shape[1]
+        pnodes = pnodes._replace(Quu=pnodes.Quu + ddp.hessian_shift * jnp.eye(nu)[None])
+        sol = solve_lqr(pnodes, jnp.zeros_like(masks), dx0=jnp.zeros_like(x_init))
+        K_out = sol.K
+
+        alphas = jnp.asarray(ddp.alphas)
+        xs_a, us_a = jax.vmap(
+            lambda a: _rollout(model, info, settings, refs, x_init, xs, us, sol.K, sol.k, a)
+        )(alphas)
+        merits = jax.vmap(total_merit)(xs_a, us_a)
+        best = jnp.argmin(merits)
+        improved = merits[best] < total_merit(xs, us)
+        xs = jnp.where(improved, xs_a[best], xs)
+        us = jnp.where(improved, us_a[best], us)
+
+    cost, defects, eqs = eval_fn(xs[:-1], us, xs[1:], refs)
+    return SqpSolution(
+        t_nodes=t_nodes,
+        x_traj=xs,
+        u_traj=us,
+        K=K_out,
+        cost=jnp.sum(cost),
+        defect_norm=jnp.sum(jnp.abs(defects)),
+        eq_norm=jnp.sum(jnp.abs(eqs)),
+        step_size=jnp.asarray(1.0),
+    )

@@ -69,3 +69,25 @@ def test_h1_cmd_vel_tracking(h1_iface):
     # lateral sway (weight shift over the stance foot) is expected in trot
     assert np.abs(res.states[:, 7]).max() < 0.25
     assert np.all(np.isfinite(res.states))
+
+
+def test_h1_trot_golden_regression(h1_iface):
+    """Golden-trajectory regression anchor (SURVEY §4 implication): the 0.5 s
+    H1-trot dummy loop endpoint is pinned so solver/model changes that shift
+    the closed-loop behavior get flagged.  Regenerate the values deliberately
+    when an intentional change lands (scripts in tests/README note)."""
+    from bipedal_control_tpu.runtime.mpc_runner import MpcRunner
+    from bipedal_control_tpu.sim.dummy_loop import run_dummy_loop
+
+    iface = h1_iface
+    mpc = MpcRunner(iface)
+    mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
+    res = run_dummy_loop(iface, mpc, jnp.asarray(iface.initial_state), duration=0.5)
+    golden = np.array(
+        [
+            -0.1814699440, -0.4606256993, -0.1144472150, 0.0059923700,
+            -0.0049289882, 0.0010427066, -0.0534908579, -0.1063080149,
+            0.9276937102, -0.0038740723, -0.0118216004, 0.0280754268,
+        ]
+    )
+    np.testing.assert_allclose(res.states[-1, :12], golden, atol=2e-3)
