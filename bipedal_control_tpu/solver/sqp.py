@@ -129,10 +129,16 @@ def sqp_solve(
 
     step_size = jnp.asarray(1.0)
     masks = eq_mask_from_flags(refs.contact_flags)
+    if settings.riccati == "parallel":
+        from .parallel_riccati import solve_lqr_parallel
+
+        lqr = lambda n, m, dx0: solve_lqr_parallel(n, m, dx0, settings.riccati_penalty)
+    else:
+        lqr = solve_lqr
     gains = None
     for _ in range(settings.sqp_iterations):
         nodes = lin_fn(xs[:-1], us, xs[1:], refs)
-        sol = solve_lqr(nodes, masks, dx0=jnp.zeros_like(x_init))
+        sol = lqr(nodes, masks, dx0=jnp.zeros_like(x_init))
         gains = sol.K
 
         alphas = jnp.asarray(settings.linesearch_alphas)
