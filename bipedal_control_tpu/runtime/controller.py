@@ -45,6 +45,12 @@ class ControllerConfig:
     use_feedback_policy: bool = True
     joint_kp: float = 80.0  # BipedalControllerParams.cfg leg_motor_*_kp default
     joint_kd: float = 5.0
+    # Runtime WBC weight override (the reference exposes these through
+    # dynamic_reconfigure, BipedalController.cpp:407-478).  task.info ships
+    # baseAccel weight 1.0, under which the contact-force tracking rows
+    # (hundreds of N) numerically dominate the base recovery PD and the robot
+    # tips over in physics; 10.0 balances H1 stably in MuJoCo.
+    weight_base_accel: float | None = 10.0
 
 
 def wbc_config_from_task(task) -> WbcTaskConfig:
@@ -68,6 +74,10 @@ class BipedalController:
         self.cfg = cfg or ControllerConfig()
         self.mpc = MpcRunner(iface)
         self.wbc_cfg = wbc_config_from_task(iface.task)
+        if self.cfg.weight_base_accel is not None:
+            self.wbc_cfg = dataclasses.replace(
+                self.wbc_cfg, weight_base_accel=self.cfg.weight_base_accel
+            )
         self.last_yaw = 0.0
         self.last_mpc_time = -np.inf
         self.last_wbc_decision = None
@@ -133,8 +143,10 @@ class BipedalController:
         with self.wbc_timer:
             res = self._wbc(pol.x_star, pol.u_fb, rbd, flags)
             jax.block_until_ready(res.decision)
-        # qpOASES-failure fallback: reuse last solution (WeightedWbc.cpp:77-81)
-        if bool(res.qp.solved) or self.last_wbc_decision is None:
+        # qpOASES-failure fallback: reuse last solution (WeightedWbc.cpp:77-81).
+        # Only genuine failures (non-finite) reject; finite-iteration ADMM
+        # residuals are normal and must not freeze the torque on a stale value.
+        if bool(jnp.all(jnp.isfinite(res.decision))) or self.last_wbc_decision is None:
             decision = res.decision
             self.last_wbc_decision = decision
         else:

@@ -38,7 +38,7 @@ def solve_qp(
     sigma: float = 1e-6,
     alpha: float = 1.6,
     eq_rho_scale: float = 1e3,
-    tol: float = 1e-6,
+    tol: float = 1e-3,
 ):
     n = H.shape[0]
     m = A.shape[0]
@@ -76,9 +76,13 @@ def solve_qp(
     ax = A @ x
     primal = jnp.max(jnp.abs(ax - jnp.clip(ax, l, u)))
     dual = jnp.max(jnp.abs(H @ x + g + A.T @ y))
+    # acceptance mirrors qpOASES' role in WeightedWbc: reject only genuine
+    # failures (divergence / NaN), not finite-iteration ADMM residuals --
+    # rejecting healthy solves would freeze the controller on a stale torque.
+    finite = jnp.logical_and(jnp.all(jnp.isfinite(x)), jnp.isfinite(dual))
     return QpSolution(
         x=x, y=y, primal_residual=primal, dual_residual=dual,
-        solved=jnp.logical_and(primal < tol * 10, jnp.isfinite(dual)),
+        solved=jnp.logical_and(primal < tol, finite),
     )
 
 

@@ -57,6 +57,15 @@ class WbcTaskConfig:
     weight_swing_leg: float = 100.0
     weight_base_accel: float = 1.0
     weight_contact_force: float = 0.01
+    # Null-space regularization: in full stance no weighted task touches the
+    # joint accelerations (the +-tolerance no-contact band leaves them free),
+    # so the QP optimum is degenerate.  qpOASES's zero-initialized active-set
+    # implicitly returns a small solution; the ADMM needs the preference made
+    # explicit or the null space fills with tens of rad/s^2 that leak into
+    # the torques through the EoM.
+    accel_reg: float = 1e-2
+    force_reg: float = 1e-6
+    torque_reg: float = 1e-6
 
 
 class Task(NamedTuple):
@@ -197,24 +206,29 @@ def friction_cone_task(info, cfg: WbcTaskConfig, contact_flags) -> Task:
 
 
 def no_contact_motion_task(info, cfg: WbcTaskConfig, kin: WbcKinematics, contact_flags) -> Task:
-    """|Jc vdot + dJc v| <= tol per stance contact, as +-inequality band
-    (WbcBase::formulateNoContactMotionTask)."""
+    """Stance-foot no-motion: Jc vdot = -dJc v per stance contact (equality).
+
+    Note: the reference's active implementation builds a +-tolerance band
+    whose second block carries a sign error (WbcBase.cpp:176-208: the rows
+    combine to pin foot acceleration to +tolerance on every axis); the
+    commented-out equality version — the original legged_control formulation
+    — is the correct one and is what we implement.  The equality also removes
+    the joint-acceleration null space that otherwise destabilizes the
+    torque output."""
     nv = info.generalized_dim
     ndec = num_decision_vars(info)
-    tol = cfg.no_contact_motion_tolerance
-    d_rows, f_rows = [], []
+    a_rows, b_rows = [], []
     for i in range(NUM_CONTACTS):
         m = contact_flags[i]
-        J = kin.Jc[i]
-        rhs = kin.dJc[i] @ kin.v_m
-        blk = jnp.zeros((3, ndec)).at[:, :nv].set(J)
-        d_rows.append(m * blk)
-        d_rows.append(-m * blk)
-        f_rows.append(m * (-rhs + tol))
-        f_rows.append(m * (rhs - tol))
-    d = jnp.concatenate(d_rows, axis=0)
-    f = jnp.concatenate(f_rows)
-    return Task(a=jnp.zeros((0, ndec)), b=jnp.zeros(0), d=d, f=f)
+        blk = jnp.zeros((3, ndec)).at[:, :nv].set(kin.Jc[i])
+        a_rows.append(m * blk)
+        b_rows.append(m * (-(kin.dJc[i] @ kin.v_m)))
+    return Task(
+        a=jnp.concatenate(a_rows, axis=0),
+        b=jnp.concatenate(b_rows),
+        d=jnp.zeros((0, ndec)),
+        f=jnp.zeros(0),
+    )
 
 
 # -------------------------------------------------------------- weighted tasks

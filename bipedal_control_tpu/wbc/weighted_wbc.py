@@ -69,6 +69,16 @@ def wbc_update(
         ]
     )
     H = weighted.a.T @ weighted.a
+    nv = info.generalized_dim
+    nfc = 3 * 4
+    reg = jnp.concatenate(
+        [
+            jnp.full(nv, cfg.accel_reg),
+            jnp.full(nfc, cfg.force_reg),
+            jnp.full(info.nj, cfg.torque_reg),
+        ]
+    )
+    H = H + jnp.diag(reg)
     g = -weighted.a.T @ weighted.b
     # rows: equalities (l = u = b) then inequalities (-inf, f]
     A = jnp.concatenate([constraints.a, constraints.d], axis=0)

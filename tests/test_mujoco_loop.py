@@ -33,25 +33,23 @@ def _reset(iface, sim):
     x0 = iface.initial_state
     upper = dict(zip(iface.task.upper_joint_names, iface.task.default_upper_joint_state))
     sim.reset(
-        base_pos=x0[6:9],
+        # lift by the sole-geometry penetration depth so the feet start in
+        # light contact instead of 1.6 cm into the floor
+        base_pos=x0[6:9] + np.array([0.0, 0.0, 0.017]),
         base_quat_wxyz=np.array([1.0, 0, 0, 0]),
         joint_pos=x0[12:],
         upper_joint_targets=upper,
     )
 
 
-def test_mujoco_stance_balance(h1_sim_setup):
-    """Standing balance for 0.5 s of real physics without a safety stop."""
-    from bipedal_control_tpu.runtime.controller import BipedalController
-
-    iface, sim = h1_sim_setup
-    _reset(iface, sim)
-    ctrl = BipedalController(iface)
-    ctrl.starting(sim.time, jnp.asarray(sim.rbd_state()))
+def _run(iface, sim, ctrl, duration, gait=None, gait_at=1.0):
     control_dt = 1.0 / 500.0
     substeps = max(1, int(round(control_dt / sim.timestep)))
-    n = int(0.5 / control_dt)
-    for _ in range(n):
+    gait_set = False
+    for _ in range(int(duration / control_dt)):
+        if gait and sim.time > gait_at and not gait_set:
+            ctrl.mpc.rm.set_gait(iface.task.gait_library[gait], start_time=sim.time + 0.1)
+            gait_set = True
         rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
         cmd = ctrl.update(sim.time, jnp.asarray(rbd))
         assert np.all(np.isfinite(cmd.tau_ff))
@@ -59,6 +57,32 @@ def test_mujoco_stance_balance(h1_sim_setup):
         sim.step(substeps)
         if not ctrl.safe:
             break
-    pos, _, _, _ = sim.ground_truth()
+    return sim.ground_truth()[0]
+
+
+def test_mujoco_stance_balance(h1_sim_setup):
+    """Standing balance for 1.5 s of real physics without a safety stop."""
+    from bipedal_control_tpu.runtime.controller import BipedalController
+
+    iface, sim = h1_sim_setup
+    _reset(iface, sim)
+    ctrl = BipedalController(iface)
+    ctrl.starting(sim.time, jnp.asarray(sim.rbd_state()))
+    pos = _run(iface, sim, ctrl, 1.5)
     assert ctrl.safe, f"safety stop, base at {pos}"
-    assert pos[2] > 0.75, pos
+    assert pos[2] > 0.85, pos
+
+
+def test_mujoco_standing_trot(h1_sim_setup):
+    """Full cascade stepping in place: stance settle, then standing_trot gait
+    cycles in real physics (BASELINE config: gait switching + physics loop)."""
+    from bipedal_control_tpu.runtime.controller import BipedalController
+
+    iface, sim = h1_sim_setup
+    _reset(iface, sim)
+    ctrl = BipedalController(iface)
+    ctrl.starting(sim.time, jnp.asarray(sim.rbd_state()))
+    pos = _run(iface, sim, ctrl, 3.0, gait="standing_trot", gait_at=1.0)
+    assert ctrl.safe, f"safety stop, base at {pos}"
+    assert pos[2] > 0.85, pos
+    assert abs(pos[0]) < 0.3 and abs(pos[1]) < 0.3, pos  # stays near origin
