@@ -90,3 +90,13 @@ def wbc_update(
 
 
 __all__ = ["WbcResult", "WbcTaskConfig", "wbc_update", "num_decision_vars", "WbcKinematics"]
+
+
+def wbc_update_batch(model, info, cfg, x_des_b, u_des_b, rbd_b, flags_b, qp_iters: int = 120):
+    """Scenario-batched WBC (vmap over the leading axis) — the 400 Hz stage of
+    large domain-randomized sweeps (BASELINE config 5)."""
+    import jax
+
+    return jax.vmap(
+        lambda x, u, r, f: wbc_update(model, info, cfg, x, u, r, f, qp_iters=qp_iters)
+    )(x_des_b, u_des_b, rbd_b, flags_b)
