@@ -61,9 +61,9 @@ REGISTRY: dict[str, RobotAssets] = {
         urdf=_example("unitree_g1/g1_description/g1.urdf"),
         # the reference ships description only (SURVEY §2 item 34); this repo
         # authors the missing task configs under configs/g1/
-        task_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/task.info"),
-        reference_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/reference.info"),
-        gait_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/gait.info"),
+        task_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/g1_task.info"),
+        reference_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/g1_reference.info"),
+        gait_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/g1_gaits.info"),
         mjcf=_example("unitree_g1/g1_description/scene.xml"),
     ),
 }
