@@ -114,9 +114,18 @@ def assemble_input(forces_flat, v_j):
 
 
 # ---------------------------------------------------------------- CMM
+def rotate_inertia(R, I):
+    """R_b I_b R_b^T for stacked bodies via broadcast-reduce (VPU-friendly).
+
+    R: (..., nb, 3, 3); I: (nb, 3, 3) -> (..., nb, 3, 3)."""
+    tmp = jnp.sum(R[..., :, :, None] * I[..., None, :, :], axis=-2)  # R @ I
+    # (R I) R^T: out[b,i,l] = sum_k tmp[b,i,k] R[b,l,k]
+    return jnp.sum(tmp[..., :, :, None] * R.swapaxes(-1, -2)[..., None, :, :], axis=-2)
+
+
 def centroidal_momentum_matrix(model: RobotModel, q):
     """A(q): (6, nv) mapping v -> [p_com_dot * m ; L_world_about_com],
-    assembled from stacked body-com Jacobians in a few einsums."""
+    assembled from stacked body-com Jacobians."""
     from .kinematics import stacked_point_jacobians
 
     kin = forward_kinematics(model, q)
@@ -124,14 +133,16 @@ def centroidal_momentum_matrix(model: RobotModel, q):
     com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
     J = stacked_point_jacobians(model, kin, coms, model.ancestor_mask())  # (nb,6,nv)
     Jv, Jw = J[:, :3, :], J[:, 3:, :]
-    I_w = jnp.einsum("bij,bjk,blk->bil", kin.R, model.body_inertia, kin.R)
-    A_lin = jnp.einsum("b,biv->iv", model.body_mass, Jv)
+    # contractions over 3/nb-sized axes as broadcast-multiply-reduce: under a
+    # scenario-batch vmap, einsum lowers these to batched tiny-dim dot_general
+    # (MXU-hostile); explicit reduces stay on the VPU and fuse.
+    I_w = rotate_inertia(kin.R, model.body_inertia)
+    A_lin = jnp.sum(model.body_mass[:, None, None] * Jv, axis=0)
     rel = coms - com  # (nb, 3)
     cross_term = jnp.cross(rel[:, None, :], Jv.transpose(0, 2, 1)).transpose(0, 2, 1)
-    A_ang = (
-        jnp.einsum("bij,bjv->iv", I_w, Jw)
-        + jnp.einsum("b,biv->iv", model.body_mass, cross_term)
-    )
+    A_ang = jnp.sum(
+        I_w[:, :, :, None] * Jw[:, None, :, :], axis=(0, 2)
+    ) + jnp.sum(model.body_mass[:, None, None] * cross_term, axis=0)
     return jnp.concatenate([A_lin, A_ang], axis=0)
 
 
@@ -149,7 +160,10 @@ def generalized_velocity_from_state_input(model: RobotModel, info: CentroidalMod
     v_j = get_joint_velocities(u, info)
     A = centroidal_momentum_matrix(model, q)
     A_b, A_j = A[:, :6], A[:, 6:]
-    v_b = jnp.linalg.solve(A_b, h - A_j @ v_j)
+    # block-Schur closed-form inverse: batched pivoted LU is a TPU anti-pattern
+    from ..ops.linalg import inv6_block
+
+    v_b = inv6_block(A_b) @ (h - A_j @ v_j)
     return jnp.concatenate([v_b, v_j])
 
 

@@ -76,7 +76,7 @@ def frame_position(model: RobotModel, kin: BodyKin, frame_id: int):
 
 def _joint_world_axes(model: RobotModel, kin: BodyKin):
     """(nj,3) world axis and (nj,3) world anchor point of each moving joint."""
-    axes = jnp.einsum("bij,bj->bi", kin.R[1:], model.joint_axis)
+    axes = jnp.sum(kin.R[1:] * model.joint_axis[:, None, :], axis=-1)
     anchors = kin.p[1:]
     return axes, anchors
 
@@ -151,9 +151,10 @@ def frame_velocity(model: RobotModel, q, v, frame_id: int):
 
 def com_position(model: RobotModel, kin: BodyKin):
     """Whole-robot com in world frame."""
-    coms = kin.p + jnp.einsum("bij,bj->bi", kin.R, model.body_com)
+    coms = body_com_positions(model, kin)
     return jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
 
 
 def body_com_positions(model: RobotModel, kin: BodyKin):
-    return kin.p + jnp.einsum("bij,bj->bi", kin.R, model.body_com)
+    # broadcast-reduce instead of einsum: stays on the VPU under batch vmap
+    return kin.p + jnp.sum(kin.R * model.body_com[:, None, :], axis=-1)

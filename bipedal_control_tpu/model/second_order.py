@@ -154,32 +154,41 @@ def cmm_derivative(model: RobotModel, kin: BodyKin, fields: FieldData):
     J = stacked_point_jacobians(model, kin, coms, model.ancestor_mask())  # (nb,6,nv)
     Jv, Jw = J[:, :3, :], J[:, 3:, :]
     dJv, dJw = point_jacobian_derivatives(model, fields, coms, Jv, move_mask)
-    I_w = jnp.einsum("bij,bjk,blk->bil", kin.R, model.body_inertia, kin.R)
+    from .centroidal import rotate_inertia
+
+    # every contraction below runs over 3- or nb-sized axes: spelled as
+    # broadcast-multiply-reduce so a scenario-batch vmap keeps them on the
+    # VPU (einsum lowers them to tiny-dim batched dot_general on the MXU)
+    I_w = rotate_inertia(kin.R, model.body_inertia)
     body_rot_f = jnp.asarray(body_rot.astype(kin.p.dtype))
     # dI_w/dq_l = rot(b,l) ([w_l] I - I [w_l])
     wtilde = _skew_batch(fields.w)  # (nv, 3, 3)
-    comm = jnp.einsum("lij,bjk->blik", wtilde, I_w) - jnp.einsum(
-        "bij,ljk->blik", I_w, wtilde
-    )  # (nb, nv_l, 3, 3)
-    dI = body_rot_f[:, :, None, None] * comm
+    # comm[b,l,i,k] = sum_j wt[l,i,j] I_w[b,j,k] - I_w[b,i,j] wt[l,j,k]
+    comm = jnp.sum(
+        wtilde[None, :, :, :, None] * I_w[:, None, None, :, :], axis=3
+    ) - jnp.sum(I_w[:, None, :, :, None] * wtilde[None, :, None, :, :], axis=3)
+    dI = body_rot_f[:, :, None, None] * comm  # (nb, nv_l, 3, 3)
 
     m_b = model.body_mass
-    dA_lin = jnp.einsum("b,bikl->ikl", m_b, dJv)  # (3, nv, nv)
+    dA_lin = jnp.sum(m_b[:, None, None, None] * dJv, axis=0)  # (3, nv, nv)
     # angular: I_w Jw + m (c_b - c) x Jv
-    dA_ang = (
-        jnp.einsum("blij,bjk->ikl", dI, Jw)
-        + jnp.einsum("bij,bjkl->ikl", I_w, dJw)
-    )
+    # term1[i,k,l] = sum_{b,j} dI[b,l,i,j] Jw[b,j,k]
+    term1 = jnp.sum(
+        dI[:, :, :, :, None] * Jw[:, None, None, :, :], axis=(0, 3)
+    ).transpose(1, 2, 0)
+    # term2[i,k,l] = sum_{b,j} I_w[b,i,j] dJw[b,j,k,l]
+    term2 = jnp.sum(I_w[:, :, :, None, None] * dJw[:, None, :, :, :], axis=(0, 2))
+    dA_ang = term1 + term2
     rel = coms - com  # (nb, 3)
-    drel = Jv - jnp.einsum(
-        "b,biv->iv", m_b, Jv
-    )[None] / model.total_mass  # (nb, 3, nv): dc_b/dq_l - dc/dq_l
+    drel = Jv - jnp.sum(m_b[:, None, None] * Jv, axis=0)[None] / model.total_mass
     # d[(rel) x Jv_col_k]/dq_l = drel_l x Jv_k + rel x dJv_kl
     cross1 = jnp.cross(
         drel.transpose(0, 2, 1)[:, None, :, :], Jv.transpose(0, 2, 1)[:, :, None, :]
     )  # (nb, nv_k, nv_l, 3)
     cross2 = jnp.cross(rel[:, None, None, :], dJv.transpose(0, 2, 3, 1))  # (nb, nv_k, nv_l, 3)
-    dA_ang = dA_ang + jnp.einsum("b,bkli->ikl", m_b, cross1 + cross2)
+    dA_ang = dA_ang + jnp.sum(
+        m_b[:, None, None, None] * (cross1 + cross2), axis=0
+    ).transpose(2, 0, 1)
     return jnp.concatenate([dA_lin, dA_ang], axis=0)  # (6, nv, nv)
 
 

@@ -41,6 +41,7 @@ from ..model.kinematics import (
     stacked_point_jacobians,
 )
 from ..model.robot_model import RobotModel
+from ..ops.linalg import inv6_block
 from ..utils.rotations import skew
 from .problem import (
     NUM_CONTACTS,
@@ -99,7 +100,7 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     terms, dterms = _terms_and_dq(model, info, q)
     p_ee, com, A = terms.p_ee, terms.com, terms.A
     A_b, A_j = A[:, :6], A[:, 6:]
-    Ab_inv = jnp.linalg.inv(A_b)
+    Ab_inv = inv6_block(A_b)
     v_b = Ab_inv @ (h - A_j @ v_j)
     v = jnp.concatenate([v_b, v_j])
 
@@ -118,7 +119,7 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     # x stores h/m, and v_b = Ab_inv (m * x_h - A_j v_j) => dv_b/dx_h = m Ab_inv
     Jx = Jx.at[6:12, 0:6].set(m * Ab_inv)
     # v_b w.r.t. q: -Ab_inv (dA/dq . v)[:6]
-    dA_v = jnp.einsum("ivq,v->iq", dterms.A, v)  # (6, nv)
+    dA_v = jnp.sum(dterms.A * v[None, :, None], axis=1)  # (6, nv)
     Jx = Jx.at[6:12, 6:].set(-Ab_inv @ dA_v)
 
     # ---- Ju (w.r.t. u = [F (3nc), v_j (nj)])
@@ -191,15 +192,20 @@ def _eq_jacobians(model, info: CentroidalModelInfo, settings: OcpSettings, x, u,
     J = terms.J_ee  # (nc, 3, nv)
     forces = get_contact_forces(u, info)
 
-    v_ee = jnp.einsum("civ,v->ci", J, v)  # (nc, 3)
+    # contractions over nv/6 as broadcast-reduce (VPU) instead of einsum
+    # (tiny-dim batched dot_general) — see the linalg/profile note in ops/.
+    v_ee = jnp.sum(J * v[None, None, :], axis=2)  # (nc, 3)
     # d v_ee / dq = (dJ/dq . v) + J_b dv_b/dq
-    dJ_v = jnp.einsum("civq,v->ciq", dterms.J_ee, v)  # (nc, 3, nv)
-    dv_b_dq = -Ab_inv @ jnp.einsum("ivq,v->iq", dterms.A, v)
-    dv_ee_dq = dJ_v + jnp.einsum("civ,vq->ciq", J[:, :, :6], dv_b_dq)
+    dJ_v = jnp.sum(dterms.J_ee * v[None, None, :, None], axis=2)  # (nc, 3, nv)
+    dv_b_dq = -Ab_inv @ jnp.sum(dterms.A * v[None, :, None], axis=1)
+    J6 = J[:, :, :6]  # (nc, 3, 6)
+    dv_ee_dq = dJ_v + jnp.sum(J6[:, :, :, None] * dv_b_dq[None, None, :, :], axis=2)
     # d v_ee / d(h/m) and / d v_j
-    dv_ee_dh = jnp.einsum("civ,vw->ciw", J[:, :, :6], m * Ab_inv)
+    dv_ee_dh = jnp.sum(J6[:, :, :, None] * (m * Ab_inv)[None, None, :, :], axis=2)
     dv_b_dvj = -Ab_inv @ terms.A[:, 6:]
-    dv_ee_dvj = jnp.einsum("civ,vj->cij", J[:, :, :6], dv_b_dvj) + J[:, :, 6:]
+    dv_ee_dvj = (
+        jnp.sum(J6[:, :, :, None] * dv_b_dvj[None, None, :, :], axis=2) + J[:, :, 6:]
+    )
 
     # residual value
     zsel = jnp.asarray([0.0, 0.0, 1.0])
@@ -308,7 +314,7 @@ def _flow_from_terms(info: CentroidalModelInfo, terms: ConfigTerms, x, u):
     forces = get_contact_forces(u, info)
     v_j = get_joint_velocities(u, info)
     A_b, A_j = terms.A[:, :6], terms.A[:, 6:]
-    v_b = jnp.linalg.solve(A_b, h - A_j @ v_j)
+    v_b = inv6_block(A_b) @ (h - A_j @ v_j)
     hdot_lin = GRAVITY + jnp.sum(forces, axis=0) / m
     hdot_ang = jnp.sum(jnp.cross(terms.p_ee - terms.com, forces), axis=0) / m
     f = jnp.concatenate([hdot_lin, hdot_ang, v_b, v_j])
@@ -319,7 +325,7 @@ def _eq_from_terms(settings: OcpSettings, terms: ConfigTerms, v, u, info, refs: 
     flags = refs.contact_flags
     gain = settings.position_error_gain
     forces = get_contact_forces(u, info)
-    v_ee = jnp.einsum("civ,v->ci", terms.J_ee, v)
+    v_ee = jnp.sum(terms.J_ee * v[None, None, :], axis=2)
     zsel = jnp.asarray([0.0, 0.0, 1.0])
     zero_vel = v_ee + gain * (terms.p_ee * zsel)
     per_contact = flags[:, None] * zero_vel + (1.0 - flags[:, None]) * forces

@@ -119,7 +119,7 @@ def contact_kinematics(model: RobotModel, info: CentroidalModelInfo, x, u):
     ps = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
     anc = model.ancestor_mask()[[model.frame_body[fid] for fid in info.contact_frame_ids]]
     J = stacked_point_jacobians(model, kin, ps, anc)  # (nc, 6, nv)
-    vs = jnp.einsum("civ,v->ci", J[:, :3, :], v)
+    vs = jnp.sum(J[:, :3, :] * v[None, None, :], axis=2)
     return ps, vs
 
 

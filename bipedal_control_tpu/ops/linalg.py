@@ -44,6 +44,63 @@ def gauss_jordan_solve(A, B):
     return aug[..., :, A.shape[-1] :]
 
 
+def inv3(A):
+    """Closed-form 3x3 inverse via the adjugate — pure elementwise math, no
+    pivoting/LU, so it vectorizes perfectly over any batch on the VPU.
+
+    A: (..., 3, 3).  Safe whenever det(A) is bounded away from 0 (our use:
+    well-conditioned inertia-like blocks).
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def inv6_block(A):
+    """6x6 inverse by 3x3 block-Schur elimination (no pivoting, no LU).
+
+    A: (..., 6, 6).  Built for the centroidal-momentum base block A_b, whose
+    (1,1) block is m*I (trivially invertible) and whose Schur complement is
+    the locked angular inertia about the com mapped through the Euler-rate
+    map — invertible away from gimbal lock, exactly like the reference's
+    direct solve.  Replaces jnp.linalg.inv/solve, whose batched pivoted LU
+    dominated the TPU profile (53 ms of a 110 ms linearization at B=256).
+    """
+    A11 = A[..., :3, :3]
+    A12 = A[..., :3, 3:]
+    A21 = A[..., 3:, :3]
+    A22 = A[..., 3:, 3:]
+    A11i = inv3(A11)
+    A11i_A12 = A11i @ A12
+    S = A22 - A21 @ A11i_A12
+    Si = inv3(S)
+    top_right = -A11i_A12 @ Si
+    bottom_left = -Si @ (A21 @ A11i)
+    top_left = A11i - top_right @ (A21 @ A11i)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bottom = jnp.concatenate([bottom_left, Si], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def solve_saddle_kkt(H, D, reg, rhs_top, rhs_bot):
     """Solve [[H, D^T], [D, -diag(reg)]] [x; y] = [rhs_top; rhs_bot].
 
