@@ -27,17 +27,19 @@ def gauss_jordan_solve(A, B):
     """
     n = A.shape[-1]
     aug = jnp.concatenate([A, B], axis=-1)  # (..., n, n+k)
+    row_ids = jnp.arange(n)
 
     def step(i, aug):
         pivot_row = aug[..., i, :]  # (..., n+k)
         pivot = jnp.take(pivot_row, i, axis=-1)[..., None]  # (..., 1)
-        inv_pivot = 1.0 / pivot
-        norm_row = pivot_row * inv_pivot  # (..., n+k)
+        norm_row = pivot_row / pivot  # (..., n+k)
         col = aug[..., :, i]  # (..., n)
-        # eliminate column i from every row, then restore the pivot row
-        update = col[..., :, None] * norm_row[..., None, :]
-        aug = aug - update
-        aug = aug.at[..., i, :].set(norm_row)
+        # single fused rank-1 update that also lands the pivot row on
+        # norm_row: row i gets aug_i - (pivot - 1) norm_row = norm_row.
+        # (avoids the scatter of .at[i].set, which dominated the TPU profile
+        # of the Riccati stage-KKT solve)
+        e_i = (row_ids == i).astype(aug.dtype)
+        aug = aug - (col - e_i)[..., :, None] * norm_row[..., None, :]
         return aug
 
     aug = jax.lax.fori_loop(0, n, step, aug)
