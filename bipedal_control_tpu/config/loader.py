@@ -57,6 +57,8 @@ class TaskConfig:
     joint_names: list[str]
     contact_names: list[str]
     upper_joint_names: list[str]
+    # task.info:1 — 0: FullCentroidalDynamics, 1: Single Rigid Body Dynamics
+    centroidal_model_type: int
     position_error_gain: float
     phase_transition_stance_time: float
     swing: SwingConfig
@@ -159,6 +161,7 @@ def load_task_config(task_file: str, reference_file: str, gait_file: str | None 
         joint_names=joint_names,
         contact_names=contact_names,
         upper_joint_names=upper_names,
+        centroidal_model_type=int(info.get_scalar(t, "centroidalModelType", 0)),
         position_error_gain=info.get_scalar(t, "model_settings.positionErrorGain", 0.0),
         phase_transition_stance_time=info.get_scalar(
             t, "model_settings.phaseTransitionStanceTime", 0.4

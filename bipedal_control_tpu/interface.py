@@ -75,7 +75,14 @@ def make_interface(
     # pinocchio model (createPinocchioInterface with jointNames).
     desc = load_urdf(urdf_path, task.joint_names, extra_frames=task.extra_frames or None)
     model = from_description(desc)
-    info = make_info(model, task.contact_names)
+    # nominal joints for SRBD = initial-state joints, like the reference's
+    # createCentroidalModelInfo(..., initialState) (BipedalRobotInterface.cpp:120-123)
+    info = make_info(
+        model,
+        task.contact_names,
+        model_type=task.centroidal_model_type,
+        q_j_nominal=tuple(task.initial_state[12:]) if task.centroidal_model_type == 1 else (),
+    )
     R = build_input_cost_weight(model, info, task.R_task, task.initial_state)
     settings = OcpSettings(
         dt=task.sqp.dt,

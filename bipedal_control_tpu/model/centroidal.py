@@ -44,11 +44,22 @@ GRAVITY_VECTOR = (0.0, 0.0, -9.81)
 
 @dataclasses.dataclass(frozen=True)
 class CentroidalModelInfo:
-    """Static problem-size metadata (reference: CentroidalModelInfo)."""
+    """Static problem-size metadata (reference: CentroidalModelInfo).
+
+    model_type mirrors task.info centroidalModelType: 0 = FullCentroidalDynamics
+    (momentum matrix at the actual configuration), 1 = SingleRigidBodyDynamics
+    (momentum matrix at the nominal joint configuration ``q_j_nominal`` with
+    zero joint columns — the robot's momentum is that of one rigid body whose
+    inertia is locked at the default pose, while contact kinematics still use
+    the true joint angles).  The reference parses the knob at task.info:1 and
+    passes the initial state as the nominal configuration
+    (BipedalRobotInterface.cpp:120-123)."""
 
     nj: int
     contact_frame_ids: tuple[int, ...]  # 3-DoF contact frames
     robot_mass: float
+    model_type: int = 0
+    q_j_nominal: tuple[float, ...] = ()
 
     @property
     def num_contacts(self) -> int:
@@ -67,12 +78,38 @@ class CentroidalModelInfo:
         return 6 + self.nj
 
 
-def make_info(model: RobotModel, contact_frame_names: list[str]) -> CentroidalModelInfo:
+def make_info(
+    model: RobotModel,
+    contact_frame_names: list[str],
+    model_type: int = 0,
+    q_j_nominal: tuple[float, ...] = (),
+) -> CentroidalModelInfo:
+    if model_type == 1 and len(q_j_nominal) != model.nj:
+        raise ValueError("SingleRigidBodyDynamics needs a nominal joint configuration")
     return CentroidalModelInfo(
         nj=model.nj,
         contact_frame_ids=tuple(model.frame_index(n) for n in contact_frame_names),
         robot_mass=float(model.total_mass),
+        model_type=model_type,
+        q_j_nominal=tuple(float(v) for v in q_j_nominal),
     )
+
+
+def momentum_coordinates(info: CentroidalModelInfo, q):
+    """Configuration at which momentum quantities (CMM, com) are evaluated:
+    q itself for the full model, [basePose, q_j_nominal] for SRBD."""
+    if info.model_type == 1:
+        return jnp.concatenate([q[..., :6], jnp.asarray(info.q_j_nominal, dtype=q.dtype)])
+    return q
+
+
+def centroidal_momentum_matrix_info(model: RobotModel, info: CentroidalModelInfo, q):
+    """Model-type-aware A(q): SRBD locks the inertia at the nominal joint
+    pose and carries no joint momentum (zero joint columns)."""
+    A = centroidal_momentum_matrix(model, momentum_coordinates(info, q))
+    if info.model_type == 1:
+        A = jnp.concatenate([A[:, :6], jnp.zeros_like(A[:, 6:])], axis=1)
+    return A
 
 
 # ---------------------------------------------------------------- access
@@ -158,7 +195,7 @@ def generalized_velocity_from_state_input(model: RobotModel, info: CentroidalMod
     q = get_generalized_coordinates(x)
     h = info.robot_mass * get_normalized_momentum(x)
     v_j = get_joint_velocities(u, info)
-    A = centroidal_momentum_matrix(model, q)
+    A = centroidal_momentum_matrix_info(model, info, q)
     A_b, A_j = A[:, :6], A[:, 6:]
     # block-Schur closed-form inverse: batched pivoted LU is a TPU anti-pattern
     from ..ops.linalg import inv6_block
@@ -171,7 +208,9 @@ def normalized_momentum_rate(model: RobotModel, info: CentroidalModelInfo, x, u)
     """d/dt (h/m): gravity + contact forces and torques about the com."""
     q = get_generalized_coordinates(x)
     kin = forward_kinematics(model, q)
-    coms = body_com_positions(model, kin)
+    # SRBD: torque arm about the locked-inertia com (nominal joint pose)
+    kin_m = kin if info.model_type == 0 else forward_kinematics(model, momentum_coordinates(info, q))
+    coms = body_com_positions(model, kin_m)
     com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
     g = jnp.asarray(GRAVITY_VECTOR)
     forces = get_contact_forces(u, info)  # (nc, 3)
@@ -213,7 +252,7 @@ def centroidal_state_from_rbd(model: RobotModel, info: CentroidalModelInfo, rbd_
     (CentroidalModelRbdConversions::computeCentroidalStateFromRbdModel,
     consumed at BipedalController.cpp:402)."""
     q, v = generalized_from_rbd(info, rbd_state)
-    A = centroidal_momentum_matrix(model, q)
+    A = centroidal_momentum_matrix_info(model, info, q)
     h_norm = (A @ v) / info.robot_mass
     return jnp.concatenate([h_norm, q])
 
@@ -240,8 +279,8 @@ def base_kinematics_from_centroidal(model: RobotModel, info: CentroidalModelInfo
     base_velocity = jnp.concatenate([v[0:3], omega_w])
 
     # differentiate h = A v: A_b vdot_b = m hdot_norm - Adot v - A_j vdot_j
-    A = centroidal_momentum_matrix(model, q)
-    Adot = centroidal_momentum_matrix_dot(model, q, v)
+    A = centroidal_momentum_matrix_info(model, info, q)
+    Adot = jax.jvp(lambda qq: centroidal_momentum_matrix_info(model, info, qq), (q,), (v,))[1]
     h_dot = info.robot_mass * normalized_momentum_rate(model, info, x, u)
     rhs = h_dot - Adot @ v - A[:, 6:] @ joint_accel
     vdot_b = jnp.linalg.solve(A[:, :6], rhs)

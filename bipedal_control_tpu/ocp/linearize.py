@@ -65,15 +65,18 @@ class ConfigTerms(NamedTuple):
 
 
 def config_terms(model: RobotModel, info: CentroidalModelInfo, q) -> ConfigTerms:
-    from ..model.centroidal import centroidal_momentum_matrix
+    from ..model.centroidal import centroidal_momentum_matrix_info, momentum_coordinates
 
     kin = forward_kinematics(model, q)
     p_ee = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
-    coms = body_com_positions(model, kin)
+    # momentum quantities (com, A) at the model-type configuration: actual q
+    # for FullCentroidalDynamics, nominal joints for SingleRigidBodyDynamics
+    kin_m = kin if info.model_type == 0 else forward_kinematics(model, momentum_coordinates(info, q))
+    coms = body_com_positions(model, kin_m)
     com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
     anc = model.ancestor_mask()[[model.frame_body[fid] for fid in info.contact_frame_ids]]
     J_ee = stacked_point_jacobians(model, kin, p_ee, anc)[:, :3, :]
-    A = centroidal_momentum_matrix(model, q)
+    A = centroidal_momentum_matrix_info(model, info, q)
     return ConfigTerms(p_ee=p_ee, com=com, A=A, J_ee=J_ee)
 
 
@@ -148,22 +151,34 @@ def _terms_and_dq(model, info, q):
 
     kin = forward_kinematics(model, q)
     p_ee = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
-    coms = body_com_positions(model, kin)
-    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
     anc = model.ancestor_mask()[[model.frame_body[fid] for fid in info.contact_frame_ids]]
     J6 = stacked_point_jacobians(model, kin, p_ee, anc)
     J_ee = J6[:, :3, :]
-    from ..model.centroidal import centroidal_momentum_matrix
+    from ..model.centroidal import centroidal_momentum_matrix, momentum_coordinates
 
-    A = centroidal_momentum_matrix(model, q)
-    terms = ConfigTerms(p_ee=p_ee, com=com, A=A, J_ee=J_ee)
-
+    # momentum quantities at the model-type configuration (SRBD: nominal
+    # joints, zero joint columns, zero joint-coordinate derivatives)
+    if info.model_type == 1:
+        kin_m = forward_kinematics(model, momentum_coordinates(info, q))
+    else:
+        kin_m = kin
+    coms = body_com_positions(model, kin_m)
+    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
+    A = centroidal_momentum_matrix(model, momentum_coordinates(info, q)) if info.model_type == 1 else centroidal_momentum_matrix(model, q)
     fields = velocity_fields(model, kin)
     move = np.zeros((len(info.contact_frame_ids), model.nv), dtype=bool)
     move[:, :6] = True
     move[:, 6:] = anc
     dJ_ee, _ = point_jacobian_derivatives(model, fields, p_ee, J_ee, move)
-    dA = cmm_derivative(model, kin, fields)
+    if info.model_type == 1:
+        dA = cmm_derivative(model, kin_m, velocity_fields(model, kin_m))
+        # no joint momentum columns, no joint-coordinate dependence
+        A = jnp.concatenate([A[:, :6], jnp.zeros_like(A[:, 6:])], axis=1)
+        dA = jnp.concatenate([dA[:, :6, :], jnp.zeros_like(dA[:, 6:, :])], axis=1)
+        dA = jnp.concatenate([dA[:, :, :6], jnp.zeros_like(dA[:, :, 6:])], axis=2)
+    else:
+        dA = cmm_derivative(model, kin, fields)
+    terms = ConfigTerms(p_ee=p_ee, com=com, A=A, J_ee=J_ee)
     dterms = ConfigTerms(
         p_ee=J_ee,  # dp_ee/dq is the linear Jacobian itself
         com=A[:3, :] / info.robot_mass,  # dcom/dq = A_lin / m
