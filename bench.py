@@ -31,6 +31,10 @@ LAT_SOLVES = int(os.environ.get("BENCH_LAT_SOLVES", "30"))
 def main():
     import jax
 
+    # honor an explicit JAX_PLATFORMS (the axon plugin can override the env
+    # var; CPU smoke runs need the config API)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/bctpu_xla"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

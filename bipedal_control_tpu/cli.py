@@ -5,12 +5,14 @@
                   (bringup_mujoco.launch + restart_mujoco.py)
   bc-tpu gaits  — list the robot's gait library (GaitKeyboardPublisher's menu)
   bc-tpu bench  — run the headline benchmark (bench.py)
+  bc-tpu bench-scaling — solves/s weak-scaling table over mesh sizes
 
 All take --robot {h1,hunter,openloong} (assets resolved via $BIPEDAL_ASSETS).
 """
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 
@@ -51,6 +53,16 @@ def cmd_plan(args):
     if args.out:
         np.savez(args.out, times=res.times, states=res.states, inputs=res.inputs)
         print("saved trajectory to", args.out)
+    if args.viz:
+        from .runtime.visualizer import Visualizer
+
+        viz = Visualizer(iface.model, iface.info, max_update_frequency=100.0)
+        for t, x, u in zip(res.times, res.states, res.inputs):
+            viz.update(t, x, u)
+        viz.save_figure(args.viz)
+        if args.viz.endswith(".png"):
+            viz.export_json(args.viz[:-4] + ".json")
+        print("saved visualization to", args.viz)
     return 0
 
 
@@ -121,7 +133,52 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_bench_scaling(args):
+    """Weak-scaling table: solves/s at mesh sizes 1,2,4,..,N devices.
+
+    On a dev box run with JAX_PLATFORMS=cpu
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 to emulate a slice;
+    on a real multi-host slice run one process per host under
+    jax.distributed (same code path)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from .interface import make_interface_for
+    from .parallel.scaling import run_scaling_benchmark
+    from .solver import build_refs, initial_trajectory
+
+    iface = make_interface_for(args.robot)
+    settings = _dc.replace(iface.settings, sqp_iterations=1, linesearch_alphas=(1.0, 0.5))
+    rm = iface.make_reference_manager()
+    rm.set_gait(iface.task.gait_library[args.gait], start_time=0.1)
+    frozen = rm.freeze(0.0)
+    t_nodes = jnp.asarray(frozen.t_nodes)
+    refs = build_refs(iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
+    x0 = jnp.asarray(iface.initial_state)
+    xs, us = initial_trajectory(iface.info, refs, x0, settings.num_intervals + 1)
+    points = run_scaling_benchmark(
+        iface.model, iface.info, settings, iface.Q, iface.R,
+        refs, t_nodes, x0, xs, us,
+        per_device_batch=args.per_device_batch, steps=args.steps,
+        chips_per_host=args.chips_per_host,
+    )
+    for pt in points:
+        print(json.dumps(dataclasses.asdict(pt)))
+    return 0
+
+
 def main(argv=None):
+    # The axon TPU plugin can override JAX_PLATFORMS from the environment
+    # (see tests/conftest.py); honor the user's env choice through the
+    # config API so `JAX_PLATFORMS=cpu bc-tpu ...` really runs on CPU.
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(prog="bc-tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -134,6 +191,7 @@ def main(argv=None):
     p.add_argument("--cmd-vel", type=float, nargs=4, default=[0, 0, 0, 0],
                    metavar=("VX", "VY", "VZ", "WYAW"))
     p.add_argument("--out", default=None, help="save trajectory .npz")
+    p.add_argument("--viz", default=None, help="render markers figure (.png) + .json export")
     p.set_defaults(fn=cmd_plan)
 
     p = sub.add_parser("sim", help="MuJoCo closed loop (MPC+WBC cascade)")
@@ -150,6 +208,15 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("bench-scaling", help="solves/s scaling table over mesh sizes")
+    _add_robot_arg(p)
+    p.add_argument("--gait", default="trot")
+    p.add_argument("--per-device-batch", type=int, default=32)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--chips-per-host", type=int, default=None,
+                   help="enable the two-level (dcn, ici) mesh above this size")
+    p.set_defaults(fn=cmd_bench_scaling)
 
     args = ap.parse_args(argv)
     return args.fn(args)

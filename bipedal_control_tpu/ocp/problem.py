@@ -60,11 +60,11 @@ class OcpSettings:
     # filter-linesearch step candidates (alpha=0 fallback is implicit); a
     # warm-started RTI deployment can run just (1.0, 0.5) or (1.0,)
     linesearch_alphas: tuple = (1.0, 0.5, 0.25)
-    # Riccati backend: "sequential" (exact stage-KKT scan) or "parallel"
-    # (associative scan, O(log N) depth for single-solve latency; constraints
-    # by penalty — see solver/parallel_riccati.py for accuracy notes)
+    # Riccati backend: "sequential" (exact stage-KKT scan; the production
+    # path — ~3.9 ms/solve on-device) or "parallel" (associative scan,
+    # O(log N) depth; **f64 only** — see solver/parallel_riccati.py)
     riccati: str = "sequential"
-    riccati_penalty: float = 1e6  # parallel backend only; ~1e4 under f32
+    riccati_penalty: float = 1e6  # parallel backend only (f64)
 
     @property
     def num_intervals(self) -> int:

@@ -61,7 +61,10 @@ def make_batched_solver(
     f = partial(batched_sqp_solve, model, info, settings, Q, R)
     if mesh is None:
         return jax.jit(f, donate_argnums=(3, 4) if donate_warm_start else ())
-    sharding = NamedSharding(mesh, P(axis_name))
+    # axis_name may be a single mesh axis or a full PartitionSpec (e.g.
+    # P(("dcn", "ici")) for the two-level multi-host mesh in scaling.py)
+    spec = axis_name if isinstance(axis_name, P) else P(axis_name)
+    sharding = NamedSharding(mesh, spec)
     return jax.jit(
         f,
         in_shardings=(sharding,) * 5,

@@ -8,9 +8,16 @@ the SQP path:
 - single shooting: the forward pass is a *nonlinear* rollout under the
   time-varying affine feedback policy (lax.scan), so dynamics defects vanish
   by construction;
-- state-input equality constraints enter as a quadratic penalty folded into
-  the stage cost (ddp.constraintPenaltyInitialValue semantics) instead of the
-  SQP path's stage-KKT elimination;
+- state-input equality constraints enter by an **augmented Lagrangian**:
+  quadratic penalty (ddp.constraintPenaltyInitialValue semantics) plus
+  first-order multiplier estimates updated after each accepted iterate
+  (lambda += rho * e).  Pure penalty escalation — the reference's ddp
+  constraintPenalty* knobs — stalls from a cold start on this stiff contact
+  problem: driving ||e|| down needs rho beyond the Hessian's conditioning.
+  The multiplier term shifts the stationary point onto the constraint
+  manifold at moderate rho (classical Bertsekas argument), so cold starts
+  converge; rho only escalates when a multiplier update fails to cut the
+  violation.
 - backward pass reuses the Riccati sweep with zero constraint masks;
 - line search over feedback-rollout step sizes, all candidates in one vmap.
 """
@@ -39,20 +46,27 @@ class DdpSettings:
     alphas: tuple = (1.0, 0.3, 0.1, 0.03, 0.01)
     # Levenberg-Marquardt Quu shift (hessianCorrectionStrategy DIAGONAL_SHIFT)
     hessian_shift: float = 1.0
+    # augmented Lagrangian: multiplier updates on accepted iterates; rho
+    # escalates only when an update fails to cut ||e||^2 by this factor
+    multiplier_updates: bool = True
+    violation_decrease_factor: float = 0.25
+    max_penalty: float = 1e6
 
 
-def _penalized_nodes(nodes, masks, rho):
-    """Fold the masked equality constraints into the cost quadratics."""
+def _penalized_nodes(nodes, masks, rho, lam):
+    """Fold the masked equality constraints into the cost quadratics
+    (augmented-Lagrangian linear term: C^T/D^T (lam + rho e))."""
     D = masks[..., None] * nodes.D
     C = masks[..., None] * nodes.C
     e = masks * nodes.e
+    g = lam + rho * e
     bt = lambda M: M.swapaxes(-1, -2)
     return nodes._replace(
         Qxx=nodes.Qxx + rho * bt(C) @ C,
         Quu=nodes.Quu + rho * bt(D) @ D,
         Qux=nodes.Qux + rho * bt(D) @ C,
-        qx=nodes.qx + rho * jnp.einsum("...ij,...i->...j", C, e),
-        qu=nodes.qu + rho * jnp.einsum("...ij,...i->...j", D, e),
+        qx=nodes.qx + jnp.einsum("...ij,...i->...j", C, g),
+        qu=nodes.qu + jnp.einsum("...ij,...i->...j", D, g),
         C=jnp.zeros_like(nodes.C),
         D=jnp.zeros_like(nodes.D),
         e=jnp.zeros_like(nodes.e),
@@ -94,24 +108,29 @@ def ilqr_solve(
         lambda x, u, xn, ref: node_eval(model, info, settings, Q, R, x, u, xn, ref)
     )
 
-    # initial open-loop rollout from the warm-start inputs
+    # Initial trajectory = the Initializer's constant state + warm inputs
+    # (BipedalRobotInitializer semantics), NOT an open-loop rollout: integrating
+    # a biped open-loop over the horizon diverges before the first backward
+    # pass can help.  Iteration 0 linearizes around this (defect-carrying)
+    # trajectory — exactly like the SQP cold start — and its backward pass
+    # supplies the stabilizing feedback for the first nonlinear rollout.
     zeroK = jnp.zeros((N, u_warm.shape[1], x_init.shape[0]))
-    xs, us = _rollout(
-        model, info, settings, refs, x_init,
-        jnp.zeros((N + 1, x_init.shape[0])), u_warm, zeroK, jnp.zeros_like(u_warm), 0.0,
-    )
+    xs = jnp.tile(x_init[None], (N + 1, 1))
+    us = u_warm
 
     K_out = zeroK
-    rho = ddp.constraint_penalty
+    rho = jnp.asarray(float(ddp.constraint_penalty))
+    lam = jnp.zeros_like(masks)  # (N, ne) multipliers (masked rows stay 0)
+    _, _, e_prev = eval_fn(xs[:-1], us, xs[1:], refs)
+    viol_prev = jnp.sum(e_prev**2)
     for it in range(ddp.iterations):
-        rho_it = ddp.constraint_penalty * (ddp.penalty_increase_rate ** it)
 
-        def total_merit(xs_, us_, _rho=rho_it):
+        def al_merit(xs_, us_, _rho, _lam):
             c, _, e = eval_fn(xs_[:-1], us_, xs_[1:], refs)
-            return jnp.sum(c) + 0.5 * _rho * jnp.sum(e**2)
+            return jnp.sum(c) + jnp.sum(_lam * e) + 0.5 * _rho * jnp.sum(e**2)
 
         nodes = lin_fn(xs[:-1], us, xs[1:], refs)
-        pnodes = _penalized_nodes(nodes, masks, rho_it)
+        pnodes = _penalized_nodes(nodes, masks, rho, lam)
         nu = u_warm.shape[1]
         pnodes = pnodes._replace(Quu=pnodes.Quu + ddp.hessian_shift * jnp.eye(nu)[None])
         sol = solve_lqr(pnodes, jnp.zeros_like(masks), dx0=jnp.zeros_like(x_init))
@@ -121,11 +140,31 @@ def ilqr_solve(
         xs_a, us_a = jax.vmap(
             lambda a: _rollout(model, info, settings, refs, x_init, xs, us, sol.K, sol.k, a)
         )(alphas)
-        merits = jax.vmap(total_merit)(xs_a, us_a)
+        merits = jax.vmap(lambda xs_, us_: al_merit(xs_, us_, rho, lam))(xs_a, us_a)
         best = jnp.argmin(merits)
-        improved = merits[best] < total_merit(xs, us)
+        if it == 0:
+            # the initializer trajectory carries defects the single-shooting
+            # merit can't see; always step onto a real rollout first
+            improved = jnp.asarray(True)
+        else:
+            improved = merits[best] < al_merit(xs, us, rho, lam)
         xs = jnp.where(improved, xs_a[best], xs)
         us = jnp.where(improved, us_a[best], us)
+
+        # first-order multiplier update on the accepted iterate; escalate rho
+        # only when the violation did not drop enough (Bertsekas AL schedule)
+        _, _, e_now = eval_fn(xs[:-1], us, xs[1:], refs)
+        viol = jnp.sum(e_now**2)
+        if ddp.multiplier_updates and it > 0:
+            # only on accepted steps: updating at a rejected (unchanged)
+            # iterate would re-add rho*e at the same point (overshoot)
+            lam = lam + jnp.where(improved, rho, 0.0) * masks * e_now
+        rho = jnp.where(
+            viol > ddp.violation_decrease_factor * viol_prev,
+            jnp.minimum(rho * ddp.penalty_increase_rate, ddp.max_penalty),
+            rho,
+        )
+        viol_prev = viol
 
     cost, defects, eqs = eval_fn(xs[:-1], us, xs[1:], refs)
     return SqpSolution(

@@ -23,11 +23,17 @@ stage-KKT solve of riccati.py against the scanned value functions.
 
 Penalty choice: R + rho D^T D is inverted per stage, so rho trades constraint
 accuracy O(1/rho) against conditioning O(rho * eps): rho ~ 1e6 is the f64
-sweet spot (~1e-6 agreement with the exact sequential sweep); use ~1e3-1e4
-under f32.
+sweet spot (~1e-6 agreement with the exact sequential sweep).
 
-Default use: single-scenario latency path.  The sequential sweep remains the
-bit-exact default for batched throughput.
+**f64 only.** Measured on TPU f32, the composition chain (repeated
+(I + C J)^{-1} products over 67 stages) loses the solution at every penalty
+tried (1e3-3e4: zero accepted steps, NaN above) — the scanned value functions
+are too ill-conditioned for single precision.  Since the sequential sweep
+after the scatter-free GJ rework runs a full warm-started solve in ~3.9 ms
+on-device (under the 10 ms budget), the parallel backend stays an f64/CPU
+research path; `solve_lqr_parallel` raises on f32 input rather than
+silently stalling.  A square-root (Cholesky-factor) composition would be the
+fix if O(log N) depth is ever needed in f32.
 """
 from __future__ import annotations
 
@@ -124,7 +130,13 @@ def value_functions_parallel(nodes: LinearizedNode, eq_masks, penalty: float = 1
 
 def solve_lqr_parallel(nodes: LinearizedNode, eq_masks, dx0, penalty: float = 1e6) -> RiccatiSolution:
     """Parallel-in-time constrained LQR: scanned value functions + exact
-    per-stage KKT gains + associative-scan forward rollout."""
+    per-stage KKT gains + associative-scan forward rollout.  f64 only (see
+    module docstring for the measured f32 failure mode)."""
+    if nodes.A.dtype != jnp.float64:
+        raise NotImplementedError(
+            "parallel Riccati requires float64 (f32 composition is unstable; "
+            "use the sequential backend, which meets the latency budget)"
+        )
     S_next, s_next = value_functions_parallel(nodes, eq_masks, penalty)
 
     def gains(node, mask, S, s):

@@ -1,7 +1,9 @@
-"""iLQR solver path: warm-started refinement (zero defects by construction).
+"""iLQR solver path: warm-started refinement + cold-start convergence.
 
-Cold-start convergence of the penalty-method iLQR on this stiff contact
-problem is a known round-2 item (CLAUDE.md TODO); the SQP path is primary.
+Cold starts work because iteration 0 linearizes around the Initializer's
+constant-state trajectory (not a diverging open-loop rollout) and the first
+nonlinear rollout then runs under that backward pass's feedback; constraints
+enter by augmented Lagrangian (multiplier updates on accepted iterates).
 """
 import dataclasses
 import os
@@ -56,3 +58,32 @@ def test_ilqr_h1_stance_warm():
     base = np.asarray(sol.x_traj[:, 6:12])
     np.testing.assert_allclose(base[:, 2], 0.93, atol=0.05)
     assert np.all(np.isfinite(np.asarray(sol.u_traj)))
+
+
+def test_ilqr_h1_stance_cold_start():
+    """From the Initializer alone (no SQP refinement) the AL-iLQR converges
+    to a near-feasible stance trajectory — the former penalty-only path
+    diverged at the first open-loop rollout (eq_norm ~3000)."""
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.solver import build_refs, initial_trajectory
+    from bipedal_control_tpu.solver.ddp import DdpSettings, ilqr_solve
+
+    iface = make_interface_for("h1")
+    settings = dataclasses.replace(iface.settings, sqp_iterations=1)
+    rm = iface.make_reference_manager()
+    x0 = jnp.asarray(iface.initial_state)
+    frozen = rm.freeze(0.0)
+    t_nodes = jnp.asarray(frozen.t_nodes)
+    refs = build_refs(iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
+    _, us = initial_trajectory(iface.info, refs, x0, settings.num_intervals + 1)
+    sol = ilqr_solve(
+        iface.model, iface.info, settings,
+        DdpSettings(iterations=10, constraint_penalty=100.0, penalty_increase_rate=2.0),
+        iface.Q, iface.R, refs, t_nodes, x0, us,
+    )
+    assert float(sol.defect_norm) < 1e-8
+    assert np.all(np.isfinite(np.asarray(sol.u_traj)))
+    # l1 over 67 nodes x 16 rows; the broken cold start sat at ~3e3
+    assert float(sol.eq_norm) < 50.0, float(sol.eq_norm)
+    base = np.asarray(sol.x_traj[:, 6:12])
+    assert base[:, 2].min() > 0.6 and base[:, 2].max() < 1.05
