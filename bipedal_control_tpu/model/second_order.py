@@ -192,6 +192,149 @@ def cmm_derivative(model: RobotModel, kin: BodyKin, fields: FieldData):
     return jnp.concatenate([dA_lin, dA_ang], axis=0)  # (6, nv, nv)
 
 
+def _pair_tables(mask: np.ndarray):
+    """Static (nv, nv) tables for pairwise-masked subtree sums.
+
+    For tree-structured column masks (column k = set of bodies moved/rotated
+    by coordinate k), the elementwise AND of two columns is either empty or
+    exactly the deeper column.  Returns (idx, valid): pair sum over
+    mask[:,k]&mask[:,l] == subtree_sum[idx[k,l]] * valid[k,l].
+    """
+    mask = np.asarray(mask, dtype=bool)
+    nv = mask.shape[1]
+    idx = np.zeros((nv, nv), dtype=np.int32)
+    valid = np.zeros((nv, nv))
+    for k in range(nv):
+        for l in range(nv):
+            inter = mask[:, k] & mask[:, l]
+            if not inter.any():
+                continue
+            if (inter == mask[:, k]).all():
+                idx[k, l], valid[k, l] = k, 1.0
+            elif (inter == mask[:, l]).all():
+                idx[k, l], valid[k, l] = l, 1.0
+            else:  # non-tree masks (never happens for ancestor columns)
+                raise ValueError("pair mask is not a subtree column")
+    return idx, valid
+
+
+def cmm_derivative_fast(model: RobotModel, kin: BodyKin, fields: FieldData):
+    """dA/dq identical to :func:`cmm_derivative` without any (nb, nv, nv, 3)
+    intermediate: every body sum collapses to per-coordinate subtree
+    aggregates (masses, mass-weighted com moments, inertia sums), and the
+    pairwise-masked sums reduce to static gathers of those aggregates
+    (:func:`_pair_tables`).  This is the TPU-hot-path version — the body-wise
+    formulation moves ~11x more memory per node under a scenario batch.
+
+    Identities used (a, b, c, d three-vectors):
+        a x (b x c)        = b (a.c) - c (a.b)
+        (a x c) x (b x c)  = c ((a x b) . c)
+        sum m rel x (d x c) = d tr(T) - T^T d,   T = sum m rel c^T
+    """
+    rot_mask, move_mask, body_rot = _static_masks(model)
+    nv = model.nv
+    m_b = model.body_mass  # (nb,)
+    coms = body_com_positions(model, kin)  # (nb, 3)
+    com = jnp.sum(m_b[:, None] * coms, axis=0) / model.total_mass
+    rel = coms - com
+    from .centroidal import rotate_inertia
+
+    I_w = rotate_inertia(kin.R, model.body_inertia)  # (nb,3,3)
+    w, v0, dw, dv0 = fields.w, fields.v0, fields.dw, fields.dv0
+
+    move_f = jnp.asarray(move_mask.astype(kin.p.dtype))  # (nb, nv)
+    rot_f = jnp.asarray(body_rot.astype(kin.p.dtype))
+    mw = m_b[:, None] * move_f  # (nb, nv) mass-weighted move mask
+
+    # ---- per-coordinate subtree aggregates (axis 0 = coordinate k)
+    msub = jnp.sum(mw, axis=0)  # (nv,)
+    csub = jnp.sum(mw[:, :, None] * coms[:, None, :], axis=0)  # (nv, 3)
+    ssub = csub - msub[:, None] * com[None]  # sum m move rel
+    Tsub = jnp.sum(
+        mw[:, :, None, None] * rel[:, None, :, None] * coms[:, None, None, :], axis=0
+    )  # (nv, 3, 3) = sum m move rel c^T
+    CCsub = jnp.sum(
+        mw[:, :, None, None] * coms[:, None, :, None] * coms[:, None, None, :], axis=0
+    )  # (nv, 3, 3) = sum m move c c^T
+    Isub_move = jnp.sum(move_f[:, :, None, None] * I_w[:, None], axis=0)  # (nv,3,3)
+    Isub_rot = jnp.sum(rot_f[:, :, None, None] * I_w[:, None], axis=0)
+
+    # ---- pairwise gathers (static index tables)
+    idx_mv, val_mv = _pair_tables(move_mask)
+    idx_rt, val_rt = _pair_tables(body_rot)
+    take = lambda X, idx: jnp.take(X, jnp.asarray(idx), axis=0)
+    vmv = jnp.asarray(val_mv, dtype=kin.p.dtype)
+    vrt = jnp.asarray(val_rt, dtype=kin.p.dtype)
+    mpair = take(msub, idx_mv) * vmv  # (k,l)
+    cpair = take(csub, idx_mv) * vmv[..., None]  # (k,l,3)
+    spair = take(ssub, idx_mv) * vmv[..., None]
+    Tpair = take(Tsub, idx_mv) * vmv[..., None, None]  # (k,l,3,3)
+    CCpair = take(CCsub, idx_mv) * vmv[..., None, None]
+    Irot_pair = take(Isub_rot, idx_rt) * vrt[..., None, None]
+
+    cross = jnp.cross
+    dot = lambda a, b: jnp.sum(a * b, axis=-1)
+    wk = w[:, None, :]  # (k,1,3)
+    wl = w[None, :, :]  # (1,l,3)
+    v0l = v0[None, :, :]
+
+    # ---- dA_lin[:, k, l] = msub_k dv0[k,l] + dw[k,l] x csub_k
+    #                        + w_k x (mpair v0_l + w_l x cpair)
+    dA_lin = (
+        msub[:, None, None] * dv0
+        + cross(dw, csub[:, None, :])
+        + cross(wk, mpair[..., None] * v0l + cross(wl, cpair))
+    )  # (k, l, 3)
+
+    # ---- Term A: sum_b dI[b,l] Jw[b,:,k] = w_l x (Irot_pair w_k)
+    #                                        - Irot_pair (w_l x w_k)
+    Ipw = jnp.sum(Irot_pair * wk[:, :, None, :], axis=-1)  # (k,l,3)
+    termA = cross(wl, Ipw) - jnp.sum(Irot_pair * cross(wl, wk)[:, :, None, :], axis=-1)
+
+    # ---- Term B: sum_b I_w[b] dJw[b,:,k,l] = Isub_move[k] dw[k,l]
+    termB = jnp.sum(Isub_move[:, None] * dw[:, :, None, :], axis=-1)  # (k,l,3)
+
+    # ---- Term C: sum m drel_l x Jv_k
+    #   = mpair v0_l x v0_k + [w_k (v0_l.cpair) - cpair (v0_l.w_k)]
+    #     - [w_l (v0_k.cpair) - cpair (v0_k.w_l)]
+    #     + CCpair (w_l x w_k) - (A_lin_l / M) x A_lin_k
+    v0k = v0[:, None, :]
+    E1 = mpair[..., None] * cross(v0l, v0k)
+    E2 = wk * dot(v0l, cpair)[..., None] - cpair * dot(v0l, wk)[..., None]
+    E3 = -(wl * dot(v0k, cpair)[..., None] - cpair * dot(v0k, wl)[..., None])
+    E4 = jnp.sum(CCpair * cross(wl, wk)[:, :, None, :], axis=-1)
+    # A_lin columns: sum_b m Jv_b[:,k] = msub_k v0_k + w_k x csub_k
+    Acol = msub[:, None] * v0 + cross(w, csub)  # (nv, 3)
+    termC = E1 + E2 + E3 + E4 - cross(Acol[None, :, :] / model.total_mass, Acol[:, None, :])
+
+    # ---- Term D: sum m rel x dJv[b,:,k,l]
+    trT = jnp.trace(Tsub, axis1=-2, axis2=-1)  # (nv,)
+    D1 = cross(ssub[:, None, :], dv0)
+    D2 = trT[:, None, None] * dw - jnp.sum(
+        Tsub.swapaxes(-1, -2)[:, None] * dw[:, :, None, :], axis=-1
+    )
+    # rel x (w_k x V), V = v0_l + w_l x c  (pair masked)
+    relxc = jnp.stack(
+        [
+            Tpair[..., 1, 2] - Tpair[..., 2, 1],
+            Tpair[..., 2, 0] - Tpair[..., 0, 2],
+            Tpair[..., 0, 1] - Tpair[..., 1, 0],
+        ],
+        axis=-1,
+    )  # (k,l,3) = sum m pair (rel x c)
+    relV = dot(spair, v0l) - dot(wl, relxc)  # sum m pair rel.V  (k,l)
+    TpT_wk = jnp.sum(Tpair * wk[:, :, :, None], axis=-2)  # (k,l,3) = Tpair^T w_k
+    sumV_relwk = v0l * dot(spair, wk)[..., None] + cross(wl, TpT_wk)
+    D3 = wk * relV[..., None] - sumV_relwk
+    termD = D1 + D2 + D3
+
+    dA_ang = termA + termB + termC + termD  # (k, l, 3)
+    # reorder (k, l, 3) -> (3, k, l) rows and stack [lin; ang]
+    return jnp.concatenate(
+        [dA_lin.transpose(2, 0, 1), dA_ang.transpose(2, 0, 1)], axis=0
+    )
+
+
 def _skew_batch(v):
     z = jnp.zeros(v.shape[:-1])
     return jnp.stack(

@@ -85,9 +85,10 @@ class FlowJac(NamedTuple):
     Jx: jnp.ndarray  # (nx, nx)
     Ju: jnp.ndarray  # (nx, nu)
     terms: ConfigTerms
-    dterms: ConfigTerms  # d/dq of each term, trailing axis nq_joint-like (ngen)
+    dterms: ConfigTerms  # d/dq of each term (J_ee slot unused: see fields)
     v: jnp.ndarray  # (nv,) generalized velocity at this point
     Ab_inv: jnp.ndarray  # (6, 6)
+    fields: object  # FieldData — dJ_ee.v is contracted on the fly from it
 
 
 def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
@@ -100,7 +101,7 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     forces = get_contact_forces(u, info)  # (nc, 3)
     v_j = get_joint_velocities(u, info)
 
-    terms, dterms = _terms_and_dq(model, info, q)
+    terms, dterms, fields = _terms_and_dq(model, info, q)
     p_ee, com, A = terms.p_ee, terms.com, terms.A
     A_b, A_j = A[:, :6], A[:, 6:]
     Ab_inv = inv6_block(A_b)
@@ -135,19 +136,15 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     )
     Ju = Ju.at[6:12, 3 * NUM_CONTACTS :].set(-Ab_inv @ A_j)
     Ju = Ju.at[12:, 3 * NUM_CONTACTS :].set(jnp.eye(nj))
-    return FlowJac(f=f, Jx=Jx, Ju=Ju, terms=terms, dterms=dterms, v=v, Ab_inv=Ab_inv)
+    return FlowJac(
+        f=f, Jx=Jx, Ju=Ju, terms=terms, dterms=dterms, v=v, Ab_inv=Ab_inv, fields=fields
+    )
 
 
 def _terms_and_dq(model, info, q):
     """ConfigTerms and their q-Jacobians via analytic velocity-field algebra
     (model/second_order.py) — no forward-AD tangents through FK."""
-    import numpy as np
-
-    from ..model.second_order import (
-        cmm_derivative,
-        point_jacobian_derivatives,
-        velocity_fields,
-    )
+    from ..model.second_order import cmm_derivative_fast, velocity_fields
 
     kin = forward_kinematics(model, q)
     p_ee = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
@@ -166,26 +163,25 @@ def _terms_and_dq(model, info, q):
     com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
     A = centroidal_momentum_matrix(model, momentum_coordinates(info, q)) if info.model_type == 1 else centroidal_momentum_matrix(model, q)
     fields = velocity_fields(model, kin)
-    move = np.zeros((len(info.contact_frame_ids), model.nv), dtype=bool)
-    move[:, :6] = True
-    move[:, 6:] = anc
-    dJ_ee, _ = point_jacobian_derivatives(model, fields, p_ee, J_ee, move)
     if info.model_type == 1:
-        dA = cmm_derivative(model, kin_m, velocity_fields(model, kin_m))
+        dA = cmm_derivative_fast(model, kin_m, velocity_fields(model, kin_m))
         # no joint momentum columns, no joint-coordinate dependence
         A = jnp.concatenate([A[:, :6], jnp.zeros_like(A[:, 6:])], axis=1)
         dA = jnp.concatenate([dA[:, :6, :], jnp.zeros_like(dA[:, 6:, :])], axis=1)
         dA = jnp.concatenate([dA[:, :, :6], jnp.zeros_like(dA[:, :, 6:])], axis=2)
     else:
-        dA = cmm_derivative(model, kin, fields)
+        dA = cmm_derivative_fast(model, kin, fields)
     terms = ConfigTerms(p_ee=p_ee, com=com, A=A, J_ee=J_ee)
     dterms = ConfigTerms(
         p_ee=J_ee,  # dp_ee/dq is the linear Jacobian itself
         com=A[:3, :] / info.robot_mass,  # dcom/dq = A_lin / m
         A=dA,
-        J_ee=dJ_ee,
+        # dJ_ee is never materialized on the hot path: its only consumer is
+        # the contraction dJ_ee . v, computed directly from the velocity
+        # fields in _eq_jacobians (saves the (nc, 3, nv, nv) tensor per node)
+        J_ee=None,
     )
-    return terms, dterms
+    return terms, dterms, fields
 
 
 def _terms_and_dq_ad(model, info, q):
@@ -210,8 +206,24 @@ def _eq_jacobians(model, info: CentroidalModelInfo, settings: OcpSettings, x, u,
     # contractions over nv/6 as broadcast-reduce (VPU) instead of einsum
     # (tiny-dim batched dot_general) — see the linalg/profile note in ops/.
     v_ee = jnp.sum(J * v[None, None, :], axis=2)  # (nc, 3)
-    # d v_ee / dq = (dJ/dq . v) + J_b dv_b/dq
-    dJ_v = jnp.sum(dterms.J_ee * v[None, None, :, None], axis=2)  # (nc, 3, nv)
+    # d v_ee / dq = (dJ/dq . v) + J_b dv_b/dq.  The first term is contracted
+    # straight from the velocity fields without forming dJ_ee:
+    #   sum_k v_k dJ[:,k,l] = sum_k mv_k dv0[k,l] + (sum_k mv_k dw[k,l]) x p
+    #                          + (sum_k mv_k w_k) x J[:,l],   mv = move_mask*v
+    import numpy as _np
+
+    anc = model.ancestor_mask()[[model.frame_body[fid] for fid in info.contact_frame_ids]]
+    move = _np.zeros((len(info.contact_frame_ids), model.nv))
+    move[:, :6] = 1.0
+    move[:, 6:] = anc
+    mv = jnp.asarray(move, dtype=v.dtype) * v[None, :]  # (nc, nv)
+    fd = fj.fields
+    t1 = jnp.sum(mv[:, :, None, None] * fd.dv0[None], axis=1)  # (nc, nv_l, 3)
+    dwv = jnp.sum(mv[:, :, None, None] * fd.dw[None], axis=1)  # (nc, nv_l, 3)
+    t2 = jnp.cross(dwv, terms.p_ee[:, None, :])
+    wv = jnp.sum(mv[:, :, None] * fd.w[None], axis=1)  # (nc, 3)
+    t3 = jnp.cross(wv[:, None, :], J.transpose(0, 2, 1))  # (nc, nv_l, 3)
+    dJ_v = (t1 + t2 + t3).transpose(0, 2, 1)  # (nc, 3, nv)
     dv_b_dq = -Ab_inv @ jnp.sum(dterms.A * v[None, :, None], axis=1)
     J6 = J[:, :, :6]  # (nc, 3, 6)
     dv_ee_dq = dJ_v + jnp.sum(J6[:, :, :, None] * dv_b_dq[None, None, :, :], axis=2)

@@ -52,3 +52,29 @@ def test_cmm_derivative_matches_ad(h1_model, rng):
     fields = velocity_fields(model, kin)
     dA = cmm_derivative(model, kin, fields)
     np.testing.assert_allclose(np.asarray(dA), np.asarray(dA_ad), atol=1e-9)
+
+
+def test_cmm_derivative_fast_matches_bodywise(h1_model, rng):
+    """Subtree-aggregate dA/dq == body-wise oracle (hot path vs reference)."""
+    import jax.numpy as jnp
+
+    from bipedal_control_tpu.model.kinematics import forward_kinematics
+    from bipedal_control_tpu.model.second_order import (
+        cmm_derivative,
+        cmm_derivative_fast,
+        velocity_fields,
+    )
+
+    model = h1_model
+    for _ in range(3):
+        q = jnp.asarray(
+            np.concatenate([rng.uniform(-0.5, 0.5, 6), rng.uniform(-0.8, 0.8, model.nj)])
+        )
+        kin = forward_kinematics(model, q)
+        fields = velocity_fields(model, kin)
+        np.testing.assert_allclose(
+            np.asarray(cmm_derivative_fast(model, kin, fields)),
+            np.asarray(cmm_derivative(model, kin, fields)),
+            atol=1e-12,
+            rtol=1e-10,
+        )
