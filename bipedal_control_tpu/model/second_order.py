@@ -335,6 +335,79 @@ def cmm_derivative_fast(model: RobotModel, kin: BodyKin, fields: FieldData):
     )
 
 
+def cmm_v_derivative(model: RobotModel, kin: BodyKin, fields: FieldData, v):
+    """Directional CMM derivative d/dq (A(q) v) at fixed v: (6, nv) with
+    [:, l] = sum_k dA[:, k, l] v_k.
+
+    The linearization only ever consumes dA contracted against the current
+    generalized velocity (dv_b/dq = -Ab^{-1} (dA.v)), so the full (6, nv, nv)
+    tensor — and with it every pairwise-masked (k, l, 3, 3) aggregate of
+    :func:`cmm_derivative_fast` — never needs to exist.  Differentiating the
+    momentum h(q, v) = [sum m_b cdot_b; sum (I_b w_b + m_b (c_b - c) x cdot_b)]
+    body-wise instead keeps every intermediate at (nb, nv, 3):
+
+        d cdot_b / dq_l = P_b[l] + W_b[l] x c_b + omega_b x Jv_b[:, l]
+        P_b = (move_b . v) @ dv0,  W_b = (move_b . v) @ dw   (einsum over k)
+        d(I_b w_b)/dq_l = rot(b,l) [w_l x (I w_b) - I (w_l x w_b)] + I W_b[l]
+
+    Validated against jacfwd of q -> A(q) v (tests/test_second_order.py).
+    """
+    _, move_mask, body_rot = _static_masks(model)
+    move_f = jnp.asarray(move_mask.astype(kin.p.dtype))  # (nb, nv)
+    rot_f = jnp.asarray(body_rot.astype(kin.p.dtype))
+    m_b = model.body_mass
+    coms = body_com_positions(model, kin)  # (nb, 3)
+    com = jnp.sum(m_b[:, None] * coms, axis=0) / model.total_mass
+    rel = coms - com
+    w, v0, dw, dv0 = fields.w, fields.v0, fields.dw, fields.dv0
+    cross = jnp.cross
+
+    # Ancestor-masked sums S_b = sum_k move(b,k) v_k X[k] computed as an
+    # unrolled walk down the static tree: S_body = S_parent + v_j X[joint row]
+    # — O(nb) work, no (nb, nv, nv, 3) broadcast intermediate and no tiny-dim
+    # batched dot_general (both measured slower; see ops/ profile note).
+    P_l = [jnp.sum(v[:6, None, None] * dv0[:6], axis=0)]  # base coords 0..5
+    W_l = [jnp.sum(v[:6, None, None] * dw[:6], axis=0)]
+    om_l = [jnp.sum(v[3:6, None] * w[3:6], axis=0)]  # translation rows have w=0
+    v0_l = [jnp.sum(v[:6, None] * v0[:6], axis=0)]
+    for b in range(1, model.nb):
+        j = b - 1  # body b is driven by joint j
+        par = int(model.joint_parent_body[j])
+        P_l.append(P_l[par] + v[6 + j] * dv0[6 + j])
+        W_l.append(W_l[par] + v[6 + j] * dw[6 + j])
+        om_l.append(om_l[par] + v[6 + j] * w[6 + j])
+        v0_l.append(v0_l[par] + v[6 + j] * v0[6 + j])
+    P = jnp.stack(P_l)  # (nb, nv, 3)
+    W = jnp.stack(W_l)  # (nb, nv, 3)
+    omega = jnp.stack(om_l)  # (nb, 3)
+    cdot = jnp.stack(v0_l) + cross(omega, coms)  # (nb, 3)
+    # com-point Jacobian columns Jv[b, l] = move(b,l) (v0_l + w_l x c_b)
+    Jv = move_f[:, :, None] * (v0[None] + cross(w[None], coms[:, None, :]))
+    dcdot = P + cross(W, coms[:, None, :]) + cross(omega[:, None, :], Jv)
+
+    dp = jnp.sum(m_b[:, None, None] * dcdot, axis=0)  # (nv, 3)
+    dcom = jnp.sum(m_b[:, None, None] * Jv, axis=0) / model.total_mass  # (nv, 3)
+
+    from .centroidal import rotate_inertia
+
+    I_w = rotate_inertia(kin.R, model.body_inertia)  # (nb, 3, 3)
+    Iom = jnp.sum(I_w * omega[:, None, :], axis=-1)  # (nb, 3)
+    wxom = cross(w[None], omega[:, None, :])  # (nb, nv, 3)
+    dI_om = rot_f[:, :, None] * (
+        cross(w[None], Iom[:, None, :])
+        - jnp.sum(I_w[:, None] * wxom[:, :, None, :], axis=-1)
+    )
+    I_dom = jnp.sum(I_w[:, None] * W[:, :, None, :], axis=-1)
+    dL = jnp.sum(
+        dI_om
+        + I_dom
+        + m_b[:, None, None]
+        * (cross(Jv - dcom[None], cdot[:, None, :]) + cross(rel[:, None, :], dcdot)),
+        axis=0,
+    )  # (nv, 3)
+    return jnp.concatenate([dp.T, dL.T], axis=0)  # (6, nv)
+
+
 def _skew_batch(v):
     z = jnp.zeros(v.shape[:-1])
     return jnp.stack(

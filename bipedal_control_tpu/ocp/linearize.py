@@ -85,10 +85,11 @@ class FlowJac(NamedTuple):
     Jx: jnp.ndarray  # (nx, nx)
     Ju: jnp.ndarray  # (nx, nu)
     terms: ConfigTerms
-    dterms: ConfigTerms  # d/dq of each term (J_ee slot unused: see fields)
+    dterms: ConfigTerms  # d/dq of p_ee/com (A and J_ee slots: see dA_v/fields)
     v: jnp.ndarray  # (nv,) generalized velocity at this point
     Ab_inv: jnp.ndarray  # (6, 6)
     fields: object  # FieldData — dJ_ee.v is contracted on the fly from it
+    dA_v: jnp.ndarray  # (6, nv) directional CMM derivative sum_k dA[:,k,:] v_k
 
 
 def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
@@ -101,12 +102,28 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     forces = get_contact_forces(u, info)  # (nc, 3)
     v_j = get_joint_velocities(u, info)
 
-    terms, dterms, fields = _terms_and_dq(model, info, q)
+    terms, dterms, fields, kin_m, fields_m = _terms_and_dq(model, info, q)
     p_ee, com, A = terms.p_ee, terms.com, terms.A
     A_b, A_j = A[:, :6], A[:, 6:]
     Ab_inv = inv6_block(A_b)
     v_b = Ab_inv @ (h - A_j @ v_j)
     v = jnp.concatenate([v_b, v_j])
+
+    # directional CMM derivative (6, nv): the only way dA/dq ever enters the
+    # Jacobians is contracted with v, so compute d/dq (A v) body-wise
+    # (model/second_order.py cmm_v_derivative) — no (6, nv, nv) tensor.
+    from ..model.second_order import cmm_v_derivative
+
+    if info.model_type == 1:
+        # SRBD: A's joint columns are zero (contract with [v_b, 0]) and A
+        # depends on q only through the base coords (zero joint l-columns)
+        v_m = jnp.concatenate([v[:6], jnp.zeros(nv - 6, dtype=v.dtype)])
+        dA_v = cmm_v_derivative(model, kin_m, fields_m, v_m)
+        dA_v = jnp.concatenate(
+            [dA_v[:, :6], jnp.zeros((6, nv - 6), dtype=v.dtype)], axis=1
+        )
+    else:
+        dA_v = cmm_v_derivative(model, kin_m, fields_m, v)
 
     # ---- value
     hdot_lin = GRAVITY + jnp.sum(forces, axis=0) / m
@@ -123,7 +140,6 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     # x stores h/m, and v_b = Ab_inv (m * x_h - A_j v_j) => dv_b/dx_h = m Ab_inv
     Jx = Jx.at[6:12, 0:6].set(m * Ab_inv)
     # v_b w.r.t. q: -Ab_inv (dA/dq . v)[:6]
-    dA_v = jnp.sum(dterms.A * v[None, :, None], axis=1)  # (6, nv)
     Jx = Jx.at[6:12, 6:].set(-Ab_inv @ dA_v)
 
     # ---- Ju (w.r.t. u = [F (3nc), v_j (nj)])
@@ -137,14 +153,21 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     Ju = Ju.at[6:12, 3 * NUM_CONTACTS :].set(-Ab_inv @ A_j)
     Ju = Ju.at[12:, 3 * NUM_CONTACTS :].set(jnp.eye(nj))
     return FlowJac(
-        f=f, Jx=Jx, Ju=Ju, terms=terms, dterms=dterms, v=v, Ab_inv=Ab_inv, fields=fields
+        f=f, Jx=Jx, Ju=Ju, terms=terms, dterms=dterms, v=v, Ab_inv=Ab_inv,
+        fields=fields, dA_v=dA_v,
     )
 
 
 def _terms_and_dq(model, info, q):
     """ConfigTerms and their q-Jacobians via analytic velocity-field algebra
-    (model/second_order.py) — no forward-AD tangents through FK."""
-    from ..model.second_order import cmm_derivative_fast, velocity_fields
+    (model/second_order.py) — no forward-AD tangents through FK.
+
+    Returns (terms, dterms, fields, kin_m, fields_m); dA/dq is NOT formed —
+    the caller contracts it against the generalized velocity via
+    cmm_v_derivative(kin_m, fields_m, .) (body-wise directional derivative),
+    which keeps every intermediate at (nb, nv, 3) instead of the pairwise
+    (nv, nv, 3x3) aggregates of cmm_derivative_fast."""
+    from ..model.second_order import velocity_fields
 
     kin = forward_kinematics(model, q)
     p_ee = jnp.stack([frame_position(model, kin, fid) for fid in info.contact_frame_ids])
@@ -155,33 +178,29 @@ def _terms_and_dq(model, info, q):
 
     # momentum quantities at the model-type configuration (SRBD: nominal
     # joints, zero joint columns, zero joint-coordinate derivatives)
-    if info.model_type == 1:
-        kin_m = forward_kinematics(model, momentum_coordinates(info, q))
-    else:
-        kin_m = kin
-    coms = body_com_positions(model, kin_m)
-    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
-    A = centroidal_momentum_matrix(model, momentum_coordinates(info, q)) if info.model_type == 1 else centroidal_momentum_matrix(model, q)
     fields = velocity_fields(model, kin)
     if info.model_type == 1:
-        dA = cmm_derivative_fast(model, kin_m, velocity_fields(model, kin_m))
-        # no joint momentum columns, no joint-coordinate dependence
+        kin_m = forward_kinematics(model, momentum_coordinates(info, q))
+        fields_m = velocity_fields(model, kin_m)
+        A = centroidal_momentum_matrix(model, momentum_coordinates(info, q))
         A = jnp.concatenate([A[:, :6], jnp.zeros_like(A[:, 6:])], axis=1)
-        dA = jnp.concatenate([dA[:, :6, :], jnp.zeros_like(dA[:, 6:, :])], axis=1)
-        dA = jnp.concatenate([dA[:, :, :6], jnp.zeros_like(dA[:, :, 6:])], axis=2)
     else:
-        dA = cmm_derivative_fast(model, kin, fields)
+        kin_m, fields_m = kin, fields
+        A = centroidal_momentum_matrix(model, q)
+    coms = body_com_positions(model, kin_m)
+    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / model.total_mass
     terms = ConfigTerms(p_ee=p_ee, com=com, A=A, J_ee=J_ee)
     dterms = ConfigTerms(
         p_ee=J_ee,  # dp_ee/dq is the linear Jacobian itself
         com=A[:3, :] / info.robot_mass,  # dcom/dq = A_lin / m
-        A=dA,
-        # dJ_ee is never materialized on the hot path: its only consumer is
-        # the contraction dJ_ee . v, computed directly from the velocity
-        # fields in _eq_jacobians (saves the (nc, 3, nv, nv) tensor per node)
+        # dA is never materialized on the hot path: its only consumer is the
+        # contraction dA . v (FlowJac.dA_v via cmm_v_derivative)
+        A=None,
+        # dJ_ee likewise: the contraction dJ_ee . v is computed directly from
+        # the velocity fields in _eq_jacobians (saves (nc, 3, nv, nv)/node)
         J_ee=None,
     )
-    return terms, dterms, fields
+    return terms, dterms, fields, kin_m, fields_m
 
 
 def _terms_and_dq_ad(model, info, q):
@@ -224,7 +243,7 @@ def _eq_jacobians(model, info: CentroidalModelInfo, settings: OcpSettings, x, u,
     wv = jnp.sum(mv[:, :, None] * fd.w[None], axis=1)  # (nc, 3)
     t3 = jnp.cross(wv[:, None, :], J.transpose(0, 2, 1))  # (nc, nv_l, 3)
     dJ_v = (t1 + t2 + t3).transpose(0, 2, 1)  # (nc, 3, nv)
-    dv_b_dq = -Ab_inv @ jnp.sum(dterms.A * v[None, :, None], axis=1)
+    dv_b_dq = -Ab_inv @ fj.dA_v
     J6 = J[:, :, :6]  # (nc, 3, 6)
     dv_ee_dq = dJ_v + jnp.sum(J6[:, :, :, None] * dv_b_dq[None, None, :, :], axis=2)
     # d v_ee / d(h/m) and / d v_j

@@ -78,3 +78,17 @@ def test_cmm_derivative_fast_matches_bodywise(h1_model, rng):
             atol=1e-12,
             rtol=1e-10,
         )
+
+
+def test_cmm_v_derivative_matches_ad(h1_model, rng):
+    """Directional d/dq (A(q) v) == jacfwd oracle contracted with v."""
+    from bipedal_control_tpu.model.second_order import cmm_v_derivative
+
+    model = h1_model
+    q = _rand_q(model, rng)
+    v = jnp.asarray(rng.normal(size=model.nv))
+    dA_ad = jax.jacfwd(lambda qq: centroidal_momentum_matrix(model, qq) @ v)(q)  # (6, nv)
+    kin = forward_kinematics(model, q)
+    fields = velocity_fields(model, kin)
+    dAv = cmm_v_derivative(model, kin, fields, v)
+    np.testing.assert_allclose(np.asarray(dAv), np.asarray(dA_ad), atol=1e-9)
