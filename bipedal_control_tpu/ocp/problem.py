@@ -61,10 +61,11 @@ class OcpSettings:
     # warm-started RTI deployment can run just (1.0, 0.5) or (1.0,)
     linesearch_alphas: tuple = (1.0, 0.5, 0.25)
     # Riccati backend: "sequential" (exact stage-KKT scan; the production
-    # path — ~3.9 ms/solve on-device) or "parallel" (associative scan,
-    # O(log N) depth; **f64 only** — see solver/parallel_riccati.py)
+    # path — ~3.9 ms/solve on-device), "parallel" (associative scan, O(log N)
+    # depth; **f64 only**), or "parallel_sqrt" (square-root associative scan,
+    # f32-capable — see solver/parallel_riccati.py)
     riccati: str = "sequential"
-    riccati_penalty: float = 1e6  # parallel backend only (f64)
+    riccati_penalty: float = 1e6  # parallel backends only (use ~1e4 for f32)
 
     @property
     def num_intervals(self) -> int:

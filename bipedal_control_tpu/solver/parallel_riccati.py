@@ -25,15 +25,27 @@ Penalty choice: R + rho D^T D is inverted per stage, so rho trades constraint
 accuracy O(1/rho) against conditioning O(rho * eps): rho ~ 1e6 is the f64
 sweet spot (~1e-6 agreement with the exact sequential sweep).
 
-**f64 only.** Measured on TPU f32, the composition chain (repeated
-(I + C J)^{-1} products over 67 stages) loses the solution at every penalty
-tried (1e3-3e4: zero accepted steps, NaN above) — the scanned value functions
-are too ill-conditioned for single precision.  Since the sequential sweep
-after the scatter-free GJ rework runs a full warm-started solve in ~3.9 ms
-on-device (under the 10 ms budget), the parallel backend stays an f64/CPU
-research path; `solve_lqr_parallel` raises on f32 input rather than
-silently stalling.  A square-root (Cholesky-factor) composition would be the
-fix if O(log N) depth is ever needed in f32.
+**Dense composition is f64 only.** Measured on TPU f32, the dense chain
+(repeated (I + C J)^{-1} products over 67 stages) loses the solution at every
+penalty tried (1e3-3e4: zero accepted steps, NaN above) — the scanned value
+functions are too ill-conditioned for single precision.
+`solve_lqr_parallel` therefore raises on f32 input.
+
+**Square-root composition (f32-capable).** `solve_lqr_parallel_sqrt` keeps
+C = U U^T and J = Z Z^T in factor form through the scan.  With W = U1^T Z2
+and the push-through identity,
+
+    (I + C1 J2)^{-1} C1 = U1 (I + W W^T)^{-1} U1^T
+    (I + J2 C1)^{-1} J2 = Z2 (I + W^T W)^{-1} Z2^T
+    (I + C1 J2)^{-1} X  = X - U1 (I + W W^T)^{-1} W (Z2^T X)
+
+so every inverse becomes a pair of triangular solves against R_C / R_J from
+QR factorizations R^T R = I + W W^T (resp. W^T W) — the Gram products that
+destroyed f32 are never formed.  The factor stacks [A2 U1 R_C^{-1} | U2] are
+re-triangularized with one more QR per combine (tria()).  This is the
+square-root temporal parallelization of LQT in the spirit of the sqrt
+parallel Kalman/smoother algorithms (Yaghoobi et al.), adapted to the
+penalty-folded constrained stage elements used here.
 """
 from __future__ import annotations
 
@@ -126,6 +138,149 @@ def value_functions_parallel(nodes: LinearizedNode, eq_masks, penalty: float = 1
     S_next = jnp.concatenate([S_all[1:], jnp.zeros((1, nx, nx))], axis=0)
     s_next = jnp.concatenate([s_all[1:], jnp.zeros((1, nx))], axis=0)
     return S_next, s_next
+
+
+class _SqrtElement(NamedTuple):
+    A: jnp.ndarray
+    b: jnp.ndarray
+    U: jnp.ndarray  # C = U U^T
+    eta: jnp.ndarray
+    Z: jnp.ndarray  # J = Z Z^T
+
+
+def _tria(M):
+    """Lower-triangular T with T T^T = M M^T, for M (..., n, m), m >= n."""
+    R = jnp.linalg.qr(M.swapaxes(-1, -2), mode="r")  # (..., n, n) upper
+    return R.swapaxes(-1, -2)
+
+
+def _combine_sqrt(e1: _SqrtElement, e2: _SqrtElement) -> _SqrtElement:
+    """Square-root composition: same algebra as :func:`_combine`, but every
+    (I + C J)^{-1} is applied through QR factors of I + W W^T / I + W^T W
+    (W = U1^T Z2), so no Gram matrix is ever formed."""
+    from jax.lax.linalg import triangular_solve
+
+    nx = e1.A.shape[-1]
+    I = jnp.broadcast_to(jnp.eye(nx, dtype=e1.A.dtype), e1.A.shape)
+    mT = lambda M: M.swapaxes(-1, -2)
+    W = mT(e1.U) @ e2.Z  # (.., nx, nx)
+    # R_C^T R_C = I + W W^T ; R_J^T R_J = I + W^T W  (QR of tall stacks)
+    R_C = jnp.linalg.qr(jnp.concatenate([mT(W), I], axis=-2), mode="r")
+    R_J = jnp.linalg.qr(jnp.concatenate([W, I], axis=-2), mode="r")
+
+    def solve_RtR(R, X):  # (R^T R)^{-1} X via two triangular solves
+        Y = triangular_solve(R, X, left_side=True, lower=False, transpose_a=True)
+        return triangular_solve(R, Y, left_side=True, lower=False)
+
+    # (I + C1 J2)^{-1} X = X - U1 (I + W W^T)^{-1} W Z2^T X
+    g1inv = lambda X: X - e1.U @ solve_RtR(R_C, W @ (mT(e2.Z) @ X))
+    # (I + J2 C1)^{-1} X = X - Z2 (I + W^T W)^{-1} W^T U1^T X
+    g2inv = lambda X: X - e2.Z @ solve_RtR(R_J, mT(W) @ (mT(e1.U) @ X))
+
+    A = e2.A @ g1inv(e1.A)
+    rhs_b = (e1.b + (e1.U @ (mT(e1.U) @ e2.eta[..., None]))[..., 0])[..., None]
+    b = (e2.A @ g1inv(rhs_b))[..., 0] + e2.b
+    rhs_eta = (e2.eta - (e2.Z @ (mT(e2.Z) @ e1.b[..., None]))[..., 0])[..., None]
+    eta = (mT(e1.A) @ g2inv(rhs_eta))[..., 0] + e1.eta
+
+    # C = (A2 U1 R_C^{-1}) (.)^T + C2 ;  J = (A1^T Z2 R_J^{-1}) (.)^T + J1
+    AU = e2.A @ e1.U  # (.., nx, nx); right-divide by R_C: Y R_C = AU
+    Y_C = mT(triangular_solve(R_C, mT(AU), left_side=True, lower=False, transpose_a=True))
+    AZ = mT(e1.A) @ e2.Z
+    Y_J = mT(triangular_solve(R_J, mT(AZ), left_side=True, lower=False, transpose_a=True))
+    U = _tria(jnp.concatenate([Y_C, e2.U], axis=-1))
+    Z = _tria(jnp.concatenate([Y_J, e1.Z], axis=-1))
+    return _SqrtElement(A=A, b=b, U=U, eta=eta, Z=Z)
+
+
+def _psd_sqrt(M, eps):
+    """Factor Z with Z Z^T = PSD(M) via eigh (clipped eigenvalues)."""
+    lam, V = jnp.linalg.eigh(0.5 * (M + M.swapaxes(-1, -2)))
+    return V * jnp.sqrt(jnp.maximum(lam, eps))[..., None, :]
+
+
+def _stage_elements_sqrt(nodes: LinearizedNode, eq_masks, penalty: float) -> _SqrtElement:
+    """Per-stage sqrt elements: U from Cholesky of R (PD), Z from the PSD
+    square root of the Schur complement Q - P^T R^{-1} P (Gauss-Newton =>
+    PSD up to roundoff; eigenvalues clipped at 0)."""
+
+    def one(node, mask):
+        D = mask[:, None] * node.D
+        C_ = mask[:, None] * node.C
+        e_ = mask * node.e
+        R = node.Quu + penalty * D.T @ D
+        P = node.Qux + penalty * D.T @ C_
+        r = node.qu + penalty * D.T @ e_
+        Q = node.Qxx + penalty * C_.T @ C_
+        q = node.qx + penalty * C_.T @ e_
+        L = jnp.linalg.cholesky(R)
+        Linv_P = jax.scipy.linalg.solve_triangular(L, P, lower=True)
+        Linv_r = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        Linv_Bt = jax.scipy.linalg.solve_triangular(L, node.B.T, lower=True)
+        A_bar = node.A - Linv_Bt.T @ Linv_P
+        b_bar = node.c - Linv_Bt.T @ Linv_r
+        # C = B R^{-1} B^T = (B L^{-T})(.)^T; bring the rank-min(nu,nx)
+        # factor to exactly nx columns so scan elements have uniform shape
+        nx, nu = node.A.shape[0], node.B.shape[1]
+        if nu >= nx:
+            U = _tria(Linv_Bt.T)  # (nx, nx), same outer product
+        else:
+            U = jnp.concatenate(
+                [Linv_Bt.T, jnp.zeros((nx, nx - nu), dtype=node.A.dtype)], axis=1
+            )
+        J_bar = Q - Linv_P.T @ Linv_P
+        eta_bar = -(q - Linv_P.T @ Linv_r)
+        Z = _psd_sqrt(J_bar, 0.0)
+        return _SqrtElement(A=A_bar, b=b_bar, U=U, eta=eta_bar, Z=Z)
+
+    return jax.vmap(one)(nodes, eq_masks)
+
+
+def value_functions_parallel_sqrt(nodes: LinearizedNode, eq_masks, penalty: float = 1e4):
+    """(S, s) at nodes 1..N via the square-root associative scan (any dtype)."""
+    nx = nodes.A.shape[-1]
+    elems = _stage_elements_sqrt(nodes, eq_masks, penalty)
+    rev = jax.tree.map(lambda a: a[::-1], elems)
+    scanned = jax.lax.associative_scan(lambda e_l, e_e: _combine_sqrt(e_e, e_l), rev)
+    scanned = jax.tree.map(lambda a: a[::-1], scanned)
+    J_all = scanned.Z @ scanned.Z.swapaxes(-1, -2)
+    S_next = jnp.concatenate([J_all[1:], jnp.zeros((1, nx, nx), dtype=J_all.dtype)], axis=0)
+    s_next = jnp.concatenate(
+        [-scanned.eta[1:], jnp.zeros((1, nx), dtype=J_all.dtype)], axis=0
+    )
+    return S_next, s_next
+
+
+def solve_lqr_parallel_sqrt(
+    nodes: LinearizedNode, eq_masks, dx0, penalty: float = 1e4
+) -> RiccatiSolution:
+    """f32-capable parallel-in-time constrained LQR (square-root scan +
+    exact per-stage KKT gains + associative-scan forward rollout)."""
+    S_next, s_next = value_functions_parallel_sqrt(nodes, eq_masks, penalty)
+    return _gains_and_rollout(nodes, eq_masks, S_next, s_next, dx0)
+
+
+def _gains_and_rollout(nodes, eq_masks, S_next, s_next, dx0) -> RiccatiSolution:
+    def gains(node, mask, S, s):
+        _, _, K, k = _stage_kkt(node, mask, S, s)
+        return K, k
+
+    Ks, ks = jax.vmap(gains)(nodes, eq_masks, S_next, s_next)
+
+    F = nodes.A - jnp.einsum("kij,kjl->kil", nodes.B, Ks)
+    f = nodes.c - jnp.einsum("kij,kj->ki", nodes.B, ks)
+
+    def aff_comb(m1, m2):
+        F1, f1 = m1
+        F2, f2 = m2
+        return F2 @ F1, jnp.einsum("kij,kj->ki", F2, f1) + f2
+
+    Fp, fp = jax.lax.associative_scan(lambda a, b: aff_comb(a, b), (F, f))
+    dx_tail = jnp.einsum("kij,j->ki", Fp, dx0) + fp
+    dx_all = jnp.concatenate([dx0[None], dx_tail], axis=0)
+    dus = -jnp.einsum("kij,kj->ki", Ks, dx_all[:-1]) - ks
+    pred = jnp.sum(nodes.qx * dx_all[:-1]) + jnp.sum(nodes.qu * dus)
+    return RiccatiSolution(dx=dx_all, du=dus, K=Ks, k=ks, expected_decrease=pred)
 
 
 def solve_lqr_parallel(nodes: LinearizedNode, eq_masks, dx0, penalty: float = 1e6) -> RiccatiSolution:
