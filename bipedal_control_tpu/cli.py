@@ -32,7 +32,11 @@ def cmd_plan(args):
     from .sim.dummy_loop import run_dummy_loop
 
     iface = make_interface_for(args.robot)
-    mpc = MpcRunner(iface)
+    mpc = MpcRunner(
+        iface,
+        solver=getattr(args, "solver", "sqp"),
+        ddp_iterations=getattr(args, "ddp_iterations", None),
+    )
     if args.gait != "stance":
         mpc.rm.set_gait(iface.task.gait_library[args.gait], start_time=0.1)
     x0 = np.asarray(iface.initial_state)
@@ -185,6 +189,10 @@ def main(argv=None):
     p = sub.add_parser("plan", help="planner-only dummy loop")
     _add_robot_arg(p)
     p.add_argument("--gait", default="trot")
+    p.add_argument("--solver", default="sqp", choices=["sqp", "ilqr"],
+                   help="replan backend: multiple-shooting SQP or AL-iLQR (DDP node analogue)")
+    p.add_argument("--ddp-iterations", type=int, default=8,
+                   help="iLQR iterations per replan (overrides task.info ddp.maxNumIterations)")
     p.add_argument("--duration", type=float, default=2.0)
     p.add_argument("--mrt-frequency", type=float, default=400.0)
     p.add_argument("--mpc-frequency", type=float, default=50.0)

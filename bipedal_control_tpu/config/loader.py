@@ -29,6 +29,18 @@ class SqpConfig:
 
 
 @dataclasses.dataclass
+class DdpConfig:
+    """task.info `ddp` block (reference task.info:86-156) — the knobs the
+    AL-iLQR path consumes; ODE/threading knobs are solver-internal there."""
+
+    algorithm: str = "ilqr"  # ddp.algorithm (ILQR / SLQ)
+    max_iterations: int = 10  # ddp.maxNumIterations (1 in MPC mode = RTI)
+    constraint_penalty: float = 20.0  # ddp.constraintPenaltyInitialValue
+    penalty_increase_rate: float = 2.0  # ddp.constraintPenaltyIncreaseRate
+    min_step_length: float = 1e-2  # ddp.lineSearch.minStepLength
+
+
+@dataclasses.dataclass
 class MpcConfig:
     time_horizon: float = 1.0
     mpc_desired_frequency: float = 50.0
@@ -69,6 +81,7 @@ class TaskConfig:
     R_task: np.ndarray  # (3nc + 3nc, ...) task-space input weights
     friction_coefficient: float
     wbc: WbcConfig
+    ddp: DdpConfig = dataclasses.field(default_factory=DdpConfig)
     # reference.info
     com_height: float = 0.9
     default_joint_state: np.ndarray = None  # (nj,)
@@ -136,6 +149,13 @@ def load_task_config(task_file: str, reference_file: str, gait_file: str | None 
         mrt_desired_frequency=info.get_scalar(t, "mpc.mrtDesiredFrequency", 400.0),
         cold_start=info.get_bool(t, "mpc.coldStart", False),
     )
+    ddp = DdpConfig(
+        algorithm=info.get_string(t, "ddp.algorithm", "ILQR").lower(),
+        max_iterations=int(info.get_scalar(t, "ddp.maxNumIterations", 10)),
+        constraint_penalty=info.get_scalar(t, "ddp.constraintPenaltyInitialValue", 20.0),
+        penalty_increase_rate=info.get_scalar(t, "ddp.constraintPenaltyIncreaseRate", 2.0),
+        min_step_length=info.get_scalar(t, "ddp.lineSearch.minStepLength", 1e-2),
+    )
     wbc = WbcConfig(
         torque_limits=info.get_matrix(t, "torqueLimitsTask", max(nj // 2, 1)),
         friction_coefficient=info.get_scalar(t, "frictionConeTask.frictionCoefficient", 0.3),
@@ -169,6 +189,7 @@ def load_task_config(task_file: str, reference_file: str, gait_file: str | None 
         swing=swing,
         sqp=sqp,
         mpc=mpc,
+        ddp=ddp,
         initial_state=info.get_matrix(t, "initialState", nx),
         Q=info.get_matrix(t, "Q", nx, nx),
         R_task=info.get_matrix(t, "R", 6 * nc, 6 * nc),

@@ -28,19 +28,68 @@ from ..utils.timing import RepeatedTimer
 
 
 class MpcRunner:
-    def __init__(self, iface: RobotInterface, reference_manager: ReferenceManager | None = None):
+    """`solver` selects the replan backend: "sqp" (SqpMpc analogue, default)
+    or "ilqr" (GaussNewtonDDP_MPC / BipedalRobotDdpMpcNode.cpp:70-72 analogue;
+    AL-iLQR single shooting, warm-started on the previous input trajectory).
+    `ddp_iterations` overrides task.info ddp.maxNumIterations for the ilqr
+    path (RTI-style replanning wants a small fixed count)."""
+
+    def __init__(
+        self,
+        iface: RobotInterface,
+        reference_manager: ReferenceManager | None = None,
+        solver: str = "sqp",
+        ddp_iterations: int | None = None,
+        ddp_penalty: float | None = None,
+    ):
         self.iface = iface
         self.rm = reference_manager or iface.make_reference_manager()
         self.last_solution: SqpSolution | None = None
         self.last_frozen = None
         self.timer = RepeatedTimer("mpc")
+        self.solver = solver
         model, info, settings = iface.model, iface.info, iface.settings
         Q, R = iface.Q, iface.R
 
-        @jax.jit
-        def _solve(refs, t_nodes, x_init, xs, us):
-            return sqp_solve(model, info, settings, Q, R, refs, t_nodes, x_init, xs, us)
+        if solver == "sqp":
 
+            @jax.jit
+            def _solve(refs, t_nodes, x_init, xs, us):
+                return sqp_solve(model, info, settings, Q, R, refs, t_nodes, x_init, xs, us)
+
+        elif solver == "ilqr":
+            from ..solver.ddp import DdpSettings, ilqr_solve
+
+            c = iface.task.ddp
+            # AL trot replanning needs rho ~1e2: the task.info value (20)
+            # under-penalizes swing rows and the warm-start chain drifts
+            # infeasible; rho >= 1e3 makes the penalized backward pass so
+            # stiff the nonlinear rollout diverges (measured sweep).  AL
+            # state is NOT carried across replans: the per-iterate
+            # first-order multiplier updates over-accumulate when chained
+            # (measured: eq diverges within 4 replans), whereas fresh
+            # multipliers per solve converge — matching the reference's
+            # per-solve constraint-penalty semantics.
+            dcfg = DdpSettings(
+                iterations=int(ddp_iterations if ddp_iterations is not None else c.max_iterations),
+                constraint_penalty=float(
+                    ddp_penalty if ddp_penalty is not None else max(c.constraint_penalty, 100.0)
+                ),
+                penalty_increase_rate=float(c.penalty_increase_rate),
+            )
+
+            @jax.jit
+            def _solve(refs, t_nodes, x_init, xs, us):
+                # xs seeds iteration 0's linearization only (cold start:
+                # initial_trajectory's constant state; warm: shifted previous
+                # solution); the accepted states come from nonlinear rollouts.
+                return ilqr_solve(
+                    model, info, settings, dcfg, Q, R, refs, t_nodes, x_init, us,
+                    x_warm=xs,
+                )
+
+        else:
+            raise ValueError(f"unknown solver {solver!r} (expected 'sqp' or 'ilqr')")
         self._solve = _solve
 
     def reset(self):

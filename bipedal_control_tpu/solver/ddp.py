@@ -8,17 +8,17 @@ the SQP path:
 - single shooting: the forward pass is a *nonlinear* rollout under the
   time-varying affine feedback policy (lax.scan), so dynamics defects vanish
   by construction;
-- state-input equality constraints enter by an **augmented Lagrangian**:
-  quadratic penalty (ddp.constraintPenaltyInitialValue semantics) plus
-  first-order multiplier estimates updated after each accepted iterate
-  (lambda += rho * e).  Pure penalty escalation — the reference's ddp
-  constraintPenalty* knobs — stalls from a cold start on this stiff contact
-  problem: driving ||e|| down needs rho beyond the Hessian's conditioning.
-  The multiplier term shifts the stationary point onto the constraint
-  manifold at moderate rho (classical Bertsekas argument), so cold starts
-  converge; rho only escalates when a multiplier update fails to cut the
-  violation.
-- backward pass reuses the Riccati sweep with zero constraint masks;
+- state-input equality constraints enter the backward pass through the same
+  **constrained stage KKT** the SQP Riccati uses (masked C/D/e rows solved
+  exactly per stage) — the analogue of OCS2 DDP's state-input-equality
+  *projection*.  A pure augmented-Lagrangian backward pass (penalty-folded
+  quadratics, `constrained_backward=False`) was the first implementation and
+  is kept as a research path: it refines a near-feasible iterate fine, but in
+  a rolling-time MPC loop its O(1/rho) constraint slack lets the stance feet
+  creep every replan — measured on the H1 trot dummy loop the base sinks
+  ~0.5 m over 0.7 s and collapses, while the projected backward pass holds
+  eq-violation at SQP levels.  The AL *merit* (multiplier estimates + rho)
+  is still what accepts/rejects rollouts in both modes;
 - line search over feedback-rollout step sizes, all candidates in one vmap.
 """
 from __future__ import annotations
@@ -44,13 +44,21 @@ class DdpSettings:
     penalty_increase_rate: float = 2.0  # ddp.constraintPenaltyIncreaseRate
     # lineSearch minStepLength 1e-2 / maxStepLength 1.0 (task.info:150-152)
     alphas: tuple = (1.0, 0.3, 0.1, 0.03, 0.01)
-    # Levenberg-Marquardt Quu shift (hessianCorrectionStrategy DIAGONAL_SHIFT)
-    hessian_shift: float = 1.0
+    # Levenberg-Marquardt Quu shift (hessianCorrectionStrategy DIAGONAL_SHIFT).
+    # Keep SMALL: 1.0 over-damps against the task-scaled R (measured on the H1
+    # trot warm chain: per-iteration cost decrease stalls at ~0.5%/iter and the
+    # horizon tail never recovers from the warm-shift sag, sinking the MPC
+    # loop; 0.01 converges to the SQP solution in ~8 iterations)
+    hessian_shift: float = 0.01
     # augmented Lagrangian: multiplier updates on accepted iterates; rho
     # escalates only when an update fails to cut ||e||^2 by this factor
     multiplier_updates: bool = True
     violation_decrease_factor: float = 0.25
     max_penalty: float = 1e6
+    # equality constraints in the backward pass: True = constrained stage KKT
+    # (OCS2 projection analogue; holds contacts in rolling-time MPC loops),
+    # False = penalty-folded quadratics (AL research path; creeps in loops)
+    constrained_backward: bool = True
 
 
 def _penalized_nodes(nodes, masks, rho, lam):
@@ -97,7 +105,18 @@ def ilqr_solve(
     t_nodes,
     x_init,
     u_warm,
-) -> SqpSolution:
+    x_warm=None,
+    al_state=None,
+    return_al_state: bool = False,
+    return_history: bool = False,
+):
+    """AL-iLQR solve.  `al_state=(lam, rho)` optionally warm-starts the
+    augmented Lagrangian (with `return_al_state` the result is
+    (SqpSolution, (lam, rho))) — useful for continuing a refinement at a
+    FIXED iterate.  Note MpcRunner deliberately does NOT chain this across
+    replans: the per-iterate first-order multiplier updates over-accumulate
+    when carried (measured divergence within 4 replans on the H1 trot);
+    fresh multipliers per solve converge."""
     N = u_warm.shape[0]
     masks = eq_mask_from_flags(refs.contact_flags)
 
@@ -108,21 +127,31 @@ def ilqr_solve(
         lambda x, u, xn, ref: node_eval(model, info, settings, Q, R, x, u, xn, ref)
     )
 
-    # Initial trajectory = the Initializer's constant state + warm inputs
-    # (BipedalRobotInitializer semantics), NOT an open-loop rollout: integrating
-    # a biped open-loop over the horizon diverges before the first backward
-    # pass can help.  Iteration 0 linearizes around this (defect-carrying)
-    # trajectory — exactly like the SQP cold start — and its backward pass
-    # supplies the stabilizing feedback for the first nonlinear rollout.
+    # Initial trajectory: the previous solution's (shifted) states when warm
+    # (`x_warm`), else the Initializer's constant state (BipedalRobotInitializer
+    # semantics) — never an open-loop rollout: integrating a biped open-loop
+    # over the horizon diverges before the first backward pass can help.
+    # Iteration 0 linearizes around this (defect-carrying) trajectory —
+    # exactly like the SQP warm/cold start — and its backward pass supplies
+    # the stabilizing feedback for the first nonlinear rollout.  Warm states
+    # matter in an RTI loop: when a contact event crosses a shooting node
+    # between replans, the constant-state linearization misjudges the swing
+    # rows badly enough that the forced first rollout diverges (measured:
+    # eq blows up within 3 replans of the trot onset).
     zeroK = jnp.zeros((N, u_warm.shape[1], x_init.shape[0]))
-    xs = jnp.tile(x_init[None], (N + 1, 1))
+    xs = jnp.tile(x_init[None], (N + 1, 1)) if x_warm is None else x_warm
     us = u_warm
 
     K_out = zeroK
-    rho = jnp.asarray(float(ddp.constraint_penalty))
-    lam = jnp.zeros_like(masks)  # (N, ne) multipliers (masked rows stay 0)
+    if al_state is None:
+        rho = jnp.asarray(float(ddp.constraint_penalty))
+        lam = jnp.zeros_like(masks)  # (N, ne) multipliers (masked rows stay 0)
+    else:
+        lam, rho = al_state
+        lam = lam * masks  # re-mask: contact schedule may have shifted
     _, _, e_prev = eval_fn(xs[:-1], us, xs[1:], refs)
     viol_prev = jnp.sum(e_prev**2)
+    hist = []  # per-iteration (improved, best_merit, viol, cost) when asked
     for it in range(ddp.iterations):
 
         def al_merit(xs_, us_, _rho, _lam):
@@ -130,10 +159,21 @@ def ilqr_solve(
             return jnp.sum(c) + jnp.sum(_lam * e) + 0.5 * _rho * jnp.sum(e**2)
 
         nodes = lin_fn(xs[:-1], us, xs[1:], refs)
-        pnodes = _penalized_nodes(nodes, masks, rho, lam)
         nu = u_warm.shape[1]
-        pnodes = pnodes._replace(Quu=pnodes.Quu + ddp.hessian_shift * jnp.eye(nu)[None])
-        sol = solve_lqr(pnodes, jnp.zeros_like(masks), dx0=jnp.zeros_like(x_init))
+        if ddp.constrained_backward and it > 0:
+            # projected equality handling on a genuine rollout iterate
+            bnodes = nodes._replace(Quu=nodes.Quu + ddp.hessian_shift * jnp.eye(nu)[None])
+            bmasks = masks
+        else:
+            # iteration 0 always: the initial trajectory carries dynamics
+            # defects the constrained KKT would "correct" with feedforwards
+            # large enough to blow up the forced first rollout (measured:
+            # instant NaN from cold start) — the soft AL backward only has to
+            # produce *stabilizing feedback* here
+            bnodes = _penalized_nodes(nodes, masks, rho, lam)
+            bnodes = bnodes._replace(Quu=bnodes.Quu + ddp.hessian_shift * jnp.eye(nu)[None])
+            bmasks = jnp.zeros_like(masks)
+        sol = solve_lqr(bnodes, bmasks, dx0=jnp.zeros_like(x_init))
         K_out = sol.K
 
         alphas = jnp.asarray(ddp.alphas)
@@ -165,9 +205,16 @@ def ilqr_solve(
             rho,
         )
         viol_prev = viol
+        if return_history:
+            c_now, _, _ = eval_fn(xs[:-1], us, xs[1:], refs)
+            hist.append(jnp.stack([
+                improved.astype(jnp.float32), merits[best].astype(jnp.float32),
+                viol.astype(jnp.float32), jnp.sum(c_now).astype(jnp.float32),
+                alphas[best].astype(jnp.float32), xs[-1, 8].astype(jnp.float32),
+            ]))
 
     cost, defects, eqs = eval_fn(xs[:-1], us, xs[1:], refs)
-    return SqpSolution(
+    sol = SqpSolution(
         t_nodes=t_nodes,
         x_traj=xs,
         u_traj=us,
@@ -177,3 +224,11 @@ def ilqr_solve(
         eq_norm=jnp.sum(jnp.abs(eqs)),
         step_size=jnp.asarray(1.0),
     )
+    extras = []
+    if return_al_state:
+        extras.append((lam, rho))
+    if return_history:
+        extras.append(jnp.stack(hist))  # (iters, 6): improved, merit, viol, cost, alpha, zN
+    if extras:
+        return (sol, *extras)
+    return sol

@@ -87,3 +87,92 @@ def test_ilqr_h1_stance_cold_start():
     assert float(sol.eq_norm) < 50.0, float(sol.eq_norm)
     base = np.asarray(sol.x_traj[:, 6:12])
     assert base[:, 2].min() > 0.6 and base[:, 2].max() < 1.05
+
+
+def test_golden_trot_sqp_vs_ilqr():
+    """Golden cross-solver comparison on the H1 trot reference: the converged
+    multiple-shooting SQP solution is a stationary point of the same OCP the
+    AL-iLQR solves, so warm-starting the iLQR there must HOLD it — same base
+    trajectory to cm level (BipedalRobotSqpMpcNode vs BipedalRobotDdpMpcNode
+    semantics).  The cold-started MpcRunner(solver="ilqr") chain is checked
+    separately for boundedness: 48 accumulated single-shooting iterations on
+    a stationary trot can legally settle dm away in the barely-weighted
+    xy/yaw valley, so trajectory equality there is not a stable signal."""
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.mpc_runner import MpcRunner
+    from bipedal_control_tpu.solver import build_refs
+    from bipedal_control_tpu.solver.ddp import DdpSettings, ilqr_solve
+
+    iface = make_interface_for("h1")
+    x0 = jnp.asarray(iface.initial_state)
+
+    # converged SQP on the trot reference (warm-started RTI replans)
+    mpc = MpcRunner(iface, solver="sqp")
+    mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
+    for _ in range(6):
+        s_sqp = mpc.advance(0.0, x0)
+    frozen = mpc.last_frozen
+    t_nodes = jnp.asarray(frozen.t_nodes)
+    refs = build_refs(iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
+
+    # AL-iLQR refinement from the SQP inputs on the identical OCP
+    s_ilqr = ilqr_solve(
+        iface.model, iface.info, iface.settings,
+        DdpSettings(iterations=4, constraint_penalty=100.0, penalty_increase_rate=1.0),
+        iface.Q, iface.R, refs, t_nodes, x0, s_sqp.u_traj,
+    )
+    assert float(s_ilqr.defect_norm) < 1e-8  # single shooting: exact dynamics
+    assert float(s_ilqr.eq_norm) < 5.0, float(s_ilqr.eq_norm)
+    b_sqp = np.asarray(s_sqp.x_traj[:, 6:12])
+    b_ilqr = np.asarray(s_ilqr.x_traj[:, 6:12])
+    np.testing.assert_allclose(b_ilqr[:, :3], b_sqp[:, :3], atol=0.05)
+    np.testing.assert_allclose(b_ilqr[:, 3:], b_sqp[:, 3:], atol=0.10)
+    assert float(s_ilqr.cost) < 2.0 * float(s_sqp.cost) + 1e-6
+
+    # cold-started iLQR MPC chain (the CLI plan --solver ilqr path): stays
+    # feasible and bounded over warm-started replans
+    mpc_i = MpcRunner(iface, solver="ilqr", ddp_iterations=8)
+    mpc_i.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
+    for _ in range(4):
+        s_chain = mpc_i.advance(0.0, x0)
+    assert np.all(np.isfinite(np.asarray(s_chain.u_traj)))
+    assert float(s_chain.eq_norm) < 10.0, float(s_chain.eq_norm)
+    bz = np.asarray(s_chain.x_traj[:, 8])
+    assert bz.min() > 0.75 and bz.max() < 1.05
+
+
+def test_ilqr_rolling_mpc_loop():
+    """Rolling-time iLQR MPC regression: replans at ADVANCING time with the
+    plan executed in between (the `plan --solver ilqr` dummy loop).  This is
+    the configuration that exposed two compounding failure modes the fixed-t
+    warm-chain test above cannot see: (1) AL-penalized backward passes leave
+    O(1/rho) contact slack, so the stance feet creep and the base sinks
+    ~0.5 m in 0.7 s before collapsing; (2) hessian_shift=1.0 over-damps the
+    feedforward, so the warm-shifted horizon tail never recovers its sag and
+    the plan dives through the floor within ~35 replans.  With the
+    constrained-KKT backward (it>=1) + small shift both hold z near target."""
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.mpc_runner import MpcRunner
+    from bipedal_control_tpu.sim.dummy_loop import run_dummy_loop
+
+    iface = make_interface_for("h1")
+    mpc = MpcRunner(iface, solver="ilqr", ddp_iterations=8)
+    mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
+    x0 = jnp.asarray(iface.initial_state)
+    # 25 Hz replans / 100 Hz execution: same per-replan warm-shift compounding
+    # (larger shift per replan, fewer solves) at ~1/4 the CPU cost
+    res = run_dummy_loop(
+        iface, mpc, x0, duration=1.2, mrt_frequency=100.0, mpc_frequency=25.0
+    )
+    assert np.all(np.isfinite(res.states))
+    base = res.states[:, 6:12]
+    # same envelope the SQP loop realizes ([0.93, 1.00] measured): the sag
+    # failure modes bottom out far below 0.85 before going non-finite
+    assert base[:, 2].min() > 0.85 and base[:, 2].max() < 1.02, (
+        base[:, 2].min(), base[:, 2].max())
+    assert np.abs(base[:, 4:]).max() < 0.15
+    # the final plan's horizon tail must not dive (the compounding-sag mode
+    # ends with the tail through the floor at < -0.9 before going NaN); the
+    # bounded tail-sag equilibrium deepens with the per-replan shift: ~0.76
+    # at 50 Hz replans, ~0.52 at the 25 Hz used here
+    assert float(mpc.last_solution.x_traj[-1, 8]) > 0.4

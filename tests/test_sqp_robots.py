@@ -1,0 +1,49 @@
+"""Cross-robot SQP solves: Hunter and OpenLoong trot OCPs.
+
+The reference supports these robots purely through config
+(bipedal_robot_example/hunter, openloong_description — SURVEY.md §2 items
+32-33); the masked static-shape OCP must absorb their different contact
+geometries (Hunter's f1/f2 small-foot pair, OpenLoong's 6-joint legs) with no
+code changes.  Short horizon keeps CPU compile time bounded.
+"""
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ASSETS
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE_ASSETS, "bipedal_robot_example")),
+    reason="reference assets unavailable",
+)
+
+
+@pytest.mark.parametrize("robot", ["hunter", "openloong"])
+def test_sqp_trot_converges(robot):
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.mpc_runner import MpcRunner
+
+    iface = make_interface_for(robot)
+    iface = dataclasses.replace(
+        iface, settings=dataclasses.replace(iface.settings, horizon=0.3)
+    )
+    iface.task.mpc.time_horizon = 0.3
+
+    mpc = MpcRunner(iface)
+    mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.05)
+    x0 = jnp.asarray(iface.initial_state)
+    sol = None
+    for _ in range(5):
+        sol = mpc.advance(0.0, x0)
+
+    assert np.all(np.isfinite(np.asarray(sol.u_traj))), robot
+    assert float(sol.defect_norm) < 0.5, (robot, float(sol.defect_norm))
+    assert float(sol.eq_norm) < 2.0, (robot, float(sol.eq_norm))
+    base = np.asarray(sol.x_traj[:, 6:12])
+    z0 = float(iface.initial_state[8])
+    np.testing.assert_allclose(base[:, 2], z0, atol=0.05)
+    eul0 = np.broadcast_to(np.asarray(iface.initial_state)[9:12], base[:, 3:].shape)
+    np.testing.assert_allclose(base[:, 3:], eul0, atol=0.1)
