@@ -50,8 +50,15 @@ def main():
     alphas = tuple(
         float(a) for a in os.environ.get("BENCH_ALPHAS", "1.0,0.5").split(",")
     )
+    # whole-backward-sweep Pallas Riccati kernel on TPU (3.1x the XLA scan at
+    # B=256, no less accurate vs an f64 oracle); CPU smoke runs keep the XLA
+    # scan (interpret-mode Pallas would be pathologically slow)
+    plat = jax.devices()[0].platform.lower()
+    riccati = os.environ.get(
+        "BENCH_RICCATI", "pallas" if plat in ("tpu", "axon") else "sequential"
+    )
     settings = dataclasses.replace(
-        iface.settings, sqp_iterations=1, linesearch_alphas=alphas
+        iface.settings, sqp_iterations=1, linesearch_alphas=alphas, riccati=riccati
     )
     rm = iface.make_reference_manager()
     rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)

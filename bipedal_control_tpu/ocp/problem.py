@@ -60,10 +60,11 @@ class OcpSettings:
     # filter-linesearch step candidates (alpha=0 fallback is implicit); a
     # warm-started RTI deployment can run just (1.0, 0.5) or (1.0,)
     linesearch_alphas: tuple = (1.0, 0.5, 0.25)
-    # Riccati backend: "sequential" (exact stage-KKT scan; the production
-    # path — ~3.9 ms/solve on-device), "parallel" (associative scan, O(log N)
-    # depth; **f64 only**), or "parallel_sqrt" (square-root associative scan,
-    # f32-capable — see solver/parallel_riccati.py)
+    # Riccati backend: "sequential" (exact stage-KKT scan), "pallas" (same
+    # math, whole-backward-sweep TPU kernel over the scenario batch — the
+    # production batched path, ops/pallas_riccati.py), "parallel"
+    # (associative scan, O(log N) depth; **f64 only**), or "parallel_sqrt"
+    # (square-root associative scan, f32-capable — solver/parallel_riccati.py)
     riccati: str = "sequential"
     riccati_penalty: float = 1e6  # parallel backends only (use ~1e4 for f32)
 

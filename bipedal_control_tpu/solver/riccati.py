@@ -102,3 +102,62 @@ def solve_lqr(nodes: LinearizedNode, eq_masks, dx0) -> RiccatiSolution:
     # first-order predicted decrease: sum_k qx.dx + qu.du
     pred = jnp.sum(nodes.qx * dxs) + jnp.sum(nodes.qu * dus)
     return RiccatiSolution(dx=dx_all, du=dus, K=Ks, k=ks, expected_decrease=pred)
+
+
+def _forward_rollout_batched(nodes, Ks, ks, dx0):
+    """Batched forward pass: nodes (B, N, ...), Ks (B, N, nu, nx), dx0 (B, nx)."""
+
+    def step(dx, inp):
+        A, B, c, K, k = inp
+        du = -jnp.einsum("bux,bx->bu", K, dx) - k
+        dx_next = (
+            jnp.einsum("bxy,by->bx", A, dx) + jnp.einsum("bxu,bu->bx", B, du) + c
+        )
+        return dx_next, (dx, du)
+
+    # scan over the stage axis: move it leading
+    seq = tuple(jnp.swapaxes(a, 0, 1) for a in (nodes.A, nodes.B, nodes.c, Ks, ks))
+    dx_last, (dxs, dus) = jax.lax.scan(step, dx0, seq)
+    dxs = jnp.swapaxes(dxs, 0, 1)
+    dx_all = jnp.concatenate([dxs, dx_last[:, None]], axis=1)
+    dus = jnp.swapaxes(dus, 0, 1)
+    pred = jnp.sum(nodes.qx * dxs, axis=(1, 2)) + jnp.sum(nodes.qu * dus, axis=(1, 2))
+    return dx_all, dus, pred
+
+
+def _solve_lqr_pallas_batched(nodes, eq_masks, dx0):
+    from ..ops.pallas_riccati import riccati_backward_pallas
+
+    plat = jax.local_devices()[0].platform.lower()
+    interpret = plat not in ("tpu", "axon")
+    dual_eps, huu_reg = _regs(nodes.A.dtype)
+    Ks, ks = riccati_backward_pallas(nodes, eq_masks, dual_eps, huu_reg, interpret)
+    dx_all, dus, pred = _forward_rollout_batched(nodes, Ks, ks, dx0)
+    return RiccatiSolution(dx=dx_all, du=dus, K=Ks, k=ks, expected_decrease=pred)
+
+
+@jax.custom_batching.custom_vmap
+def solve_lqr_pallas(nodes: LinearizedNode, eq_masks, dx0) -> RiccatiSolution:
+    """Whole-backward-sweep Pallas kernel backend (ops/pallas_riccati.py).
+
+    Same stage math as :func:`solve_lqr`; under `jax.vmap` the whole scenario
+    batch feeds ONE kernel (batch tiles on the lane dimension), which is the
+    production TPU path.  Unbatched calls run the batch-1 kernel.
+    """
+    sol = _solve_lqr_pallas_batched(
+        jax.tree.map(lambda a: a[None], nodes), eq_masks[None], dx0[None]
+    )
+    return jax.tree.map(lambda a: a[0], sol)
+
+
+@solve_lqr_pallas.def_vmap
+def _solve_lqr_pallas_vmap(axis_size, in_batched, nodes, eq_masks, dx0):
+    nodes_b, masks_b, dx0_b = in_batched
+    bcast = lambda a: jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+    nodes = jax.tree.map(lambda a, b: a if b else bcast(a), nodes, nodes_b)
+    if not masks_b:
+        eq_masks = bcast(eq_masks)
+    if not dx0_b:
+        dx0 = bcast(dx0)
+    sol = _solve_lqr_pallas_batched(nodes, eq_masks, dx0)
+    return sol, jax.tree.map(lambda _: True, sol)

@@ -133,6 +133,10 @@ def sqp_solve(
         from .parallel_riccati import solve_lqr_parallel
 
         lqr = lambda n, m, dx0: solve_lqr_parallel(n, m, dx0, settings.riccati_penalty)
+    elif settings.riccati == "pallas":
+        from .riccati import solve_lqr_pallas
+
+        lqr = solve_lqr_pallas
     elif settings.riccati == "parallel_sqrt":
         from .parallel_riccati import solve_lqr_parallel_sqrt
 
