@@ -200,7 +200,9 @@ def generalized_velocity_from_state_input(model: RobotModel, info: CentroidalMod
     # block-Schur closed-form inverse: batched pivoted LU is a TPU anti-pattern
     from ..ops.linalg import inv6_block
 
-    v_b = inv6_block(A_b) @ (h - A_j @ v_j)
+    from ..ops.contract import mv
+
+    v_b = mv(inv6_block(A_b), h - mv(A_j, v_j))
     return jnp.concatenate([v_b, v_j])
 
 

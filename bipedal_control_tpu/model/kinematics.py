@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.contract import mm, mv
 from ..utils.rotations import euler_rate_map_zyx, rotmat_from_zyx, skew
 from .robot_model import RobotModel
 from .urdf import JOINT_PRISMATIC, JOINT_REVOLUTE
@@ -56,17 +57,17 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> BodyKin:
         p_off = model.joint_offset_p[j]
         R_m, p_m = _joint_motion(model.joint_type[j], model.joint_axis[j], q[6 + j])
         R_parent, p_parent = R_list[parent], p_list[parent]
-        R_joint = R_parent @ R_off
-        p_joint = p_parent + R_parent @ p_off
-        R_list.append(R_joint @ R_m)
-        p_list.append(p_joint + R_joint @ p_m)
+        R_joint = mm(R_parent, R_off)
+        p_joint = p_parent + mv(R_parent, p_off)
+        R_list.append(mm(R_joint, R_m))
+        p_list.append(p_joint + mv(R_joint, p_m))
     return BodyKin(R=jnp.stack(R_list), p=jnp.stack(p_list), E=euler_rate_map_zyx(theta))
 
 
 def frame_transform(model: RobotModel, kin: BodyKin, frame_id: int):
     b = model.frame_body[frame_id]
-    R = kin.R[b] @ model.frame_R[frame_id]
-    p = kin.p[b] + kin.R[b] @ model.frame_p[frame_id]
+    R = mm(kin.R[b], model.frame_R[frame_id])
+    p = kin.p[b] + mv(kin.R[b], model.frame_p[frame_id])
     return R, p
 
 

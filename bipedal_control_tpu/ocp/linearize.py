@@ -41,6 +41,7 @@ from ..model.kinematics import (
     stacked_point_jacobians,
 )
 from ..model.robot_model import RobotModel
+from ..ops.contract import mm, mv, quad
 from ..ops.linalg import inv6_block
 from ..utils.rotations import skew
 from .problem import (
@@ -106,7 +107,7 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     p_ee, com, A = terms.p_ee, terms.com, terms.A
     A_b, A_j = A[:, :6], A[:, 6:]
     Ab_inv = inv6_block(A_b)
-    v_b = Ab_inv @ (h - A_j @ v_j)
+    v_b = mv(Ab_inv, h - mv(A_j, v_j))
     v = jnp.concatenate([v_b, v_j])
 
     # directional CMM derivative (6, nv): the only way dA/dq ever enters the
@@ -140,7 +141,7 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     # x stores h/m, and v_b = Ab_inv (m * x_h - A_j v_j) => dv_b/dx_h = m Ab_inv
     Jx = Jx.at[6:12, 0:6].set(m * Ab_inv)
     # v_b w.r.t. q: -Ab_inv (dA/dq . v)[:6]
-    Jx = Jx.at[6:12, 6:].set(-Ab_inv @ dA_v)
+    Jx = Jx.at[6:12, 6:].set(-mm(Ab_inv, dA_v))
 
     # ---- Ju (w.r.t. u = [F (3nc), v_j (nj)])
     Ju = jnp.zeros((nx, nu))
@@ -150,7 +151,7 @@ def _flow_with_jacobians(model, info: CentroidalModelInfo, x, u) -> FlowJac:
     Ju = Ju.at[3:6, : 3 * NUM_CONTACTS].set(
         jnp.concatenate([skews[i] for i in range(NUM_CONTACTS)], axis=1)
     )
-    Ju = Ju.at[6:12, 3 * NUM_CONTACTS :].set(-Ab_inv @ A_j)
+    Ju = Ju.at[6:12, 3 * NUM_CONTACTS :].set(-mm(Ab_inv, A_j))
     Ju = Ju.at[12:, 3 * NUM_CONTACTS :].set(jnp.eye(nj))
     return FlowJac(
         f=f, Jx=Jx, Ju=Ju, terms=terms, dterms=dterms, v=v, Ab_inv=Ab_inv,
@@ -243,12 +244,12 @@ def _eq_jacobians(model, info: CentroidalModelInfo, settings: OcpSettings, x, u,
     wv = jnp.sum(mv[:, :, None] * fd.w[None], axis=1)  # (nc, 3)
     t3 = jnp.cross(wv[:, None, :], J.transpose(0, 2, 1))  # (nc, nv_l, 3)
     dJ_v = (t1 + t2 + t3).transpose(0, 2, 1)  # (nc, 3, nv)
-    dv_b_dq = -Ab_inv @ fj.dA_v
+    dv_b_dq = -mm(Ab_inv, fj.dA_v)
     J6 = J[:, :, :6]  # (nc, 3, 6)
     dv_ee_dq = dJ_v + jnp.sum(J6[:, :, :, None] * dv_b_dq[None, None, :, :], axis=2)
     # d v_ee / d(h/m) and / d v_j
     dv_ee_dh = jnp.sum(J6[:, :, :, None] * (m * Ab_inv)[None, None, :, :], axis=2)
-    dv_b_dvj = -Ab_inv @ terms.A[:, 6:]
+    dv_b_dvj = -mm(Ab_inv, terms.A[:, 6:])
     dv_ee_dvj = (
         jnp.sum(J6[:, :, :, None] * dv_b_dvj[None, None, :, :], axis=2) + J[:, :, 6:]
     )
@@ -311,15 +312,15 @@ def linearize_node_structured(
         if settings.exact_rk2_sensitivity:
             fj1 = _flow_with_jacobians(model, info, x1, u)
             F = x + dt * fj1.f
-            A = jnp.eye(nx) + dt * fj1.Jx @ inner
-            B = dt * (0.5 * dt * fj1.Jx @ fj0.Ju + fj1.Ju)
+            A = jnp.eye(nx) + dt * mm(fj1.Jx, inner)
+            B = dt * (0.5 * dt * mm(fj1.Jx, fj0.Ju) + fj1.Ju)
         else:
             # exact value, same-point sensitivity (see OcpSettings)
             terms1 = config_terms(model, info, x1[6:])
             f1, _ = _flow_from_terms(info, terms1, x1, u)
             F = x + dt * f1
-            A = jnp.eye(nx) + dt * fj0.Jx @ inner
-            B = dt * (0.5 * dt * fj0.Jx @ fj0.Ju + fj0.Ju)
+            A = jnp.eye(nx) + dt * mm(fj0.Jx, inner)
+            B = dt * (0.5 * dt * mm(fj0.Jx, fj0.Ju) + fj0.Ju)
     else:
         raise NotImplementedError(f"structured linearization for {settings.integrator}")
     c = F - x_next
@@ -335,10 +336,10 @@ def linearize_node_structured(
     cones = friction_cone_values(settings, u, info)
     pen = relaxed_barrier(cones, settings.barrier_mu, settings.barrier_delta)
     cost_val = dt * (
-        0.5 * dx_dev @ Q @ dx_dev + 0.5 * du_dev @ R @ du_dev + jnp.sum(refs.contact_flags * pen)
+        0.5 * quad(dx_dev, Q, dx_dev) + 0.5 * quad(du_dev, R, du_dev) + jnp.sum(refs.contact_flags * pen)
     )
-    qx = dt * (Q @ dx_dev)
-    qu = dt * (R @ du_dev) + _barrier_grad_u(settings, info, u, refs)
+    qx = dt * mv(Q, dx_dev)
+    qu = dt * mv(R, du_dev) + _barrier_grad_u(settings, info, u, refs)
     return LinearizedNode(A=A, B=B, c=c, C=C, D=D, e=e, Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu, cost=cost_val)
 
 
@@ -360,7 +361,7 @@ def _flow_from_terms(info: CentroidalModelInfo, terms: ConfigTerms, x, u):
     forces = get_contact_forces(u, info)
     v_j = get_joint_velocities(u, info)
     A_b, A_j = terms.A[:, :6], terms.A[:, 6:]
-    v_b = inv6_block(A_b) @ (h - A_j @ v_j)
+    v_b = mv(inv6_block(A_b), h - mv(A_j, v_j))
     hdot_lin = GRAVITY + jnp.sum(forces, axis=0) / m
     hdot_ang = jnp.sum(jnp.cross(terms.p_ee - terms.com, forces), axis=0) / m
     f = jnp.concatenate([hdot_lin, hdot_ang, v_b, v_j])
@@ -406,8 +407,8 @@ def node_eval(model, info: CentroidalModelInfo, settings: OcpSettings, Q, R, x, 
     cones = friction_cone_values(settings, u, info)
     pen = relaxed_barrier(cones, settings.barrier_mu, settings.barrier_delta)
     cost = dt * (
-        0.5 * dx_dev @ Q @ dx_dev
-        + 0.5 * du_dev @ R @ du_dev
+        0.5 * quad(dx_dev, Q, dx_dev)
+        + 0.5 * quad(du_dev, R, du_dev)
         + jnp.sum(refs.contact_flags * pen)
     )
     return cost, defect, eq

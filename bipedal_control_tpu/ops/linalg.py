@@ -87,17 +87,20 @@ def inv6_block(A):
     direct solve.  Replaces jnp.linalg.inv/solve, whose batched pivoted LU
     dominated the TPU profile (53 ms of a 110 ms linearization at B=256).
     """
+    from .contract import mm
+
     A11 = A[..., :3, :3]
     A12 = A[..., :3, 3:]
     A21 = A[..., 3:, :3]
     A22 = A[..., 3:, 3:]
     A11i = inv3(A11)
-    A11i_A12 = A11i @ A12
-    S = A22 - A21 @ A11i_A12
+    A11i_A12 = mm(A11i, A12)
+    S = A22 - mm(A21, A11i_A12)
     Si = inv3(S)
-    top_right = -A11i_A12 @ Si
-    bottom_left = -Si @ (A21 @ A11i)
-    top_left = A11i - top_right @ (A21 @ A11i)
+    A21_A11i = mm(A21, A11i)
+    top_right = -mm(A11i_A12, Si)
+    bottom_left = -mm(Si, A21_A11i)
+    top_left = A11i - mm(top_right, A21_A11i)
     top = jnp.concatenate([top_left, top_right], axis=-1)
     bottom = jnp.concatenate([bottom_left, Si], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)

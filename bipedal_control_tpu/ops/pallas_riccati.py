@@ -89,6 +89,7 @@ def _backward_kernel(
     mask_ref,
     K_ref,
     k_ref,
+    KT_ref,
     S_ref,
     s_ref,
 ):
@@ -168,6 +169,28 @@ def _backward_kernel(
     s_ref[...] = s_new
     K_ref[0] = K
     k_ref[0] = kvec
+    # contraction-ready orientation for the forward-rollout kernel
+    KT_ref[0] = _transpose01(K)
+
+
+def _forward_kernel(AT_ref, BT_ref, c_ref, KT_ref, k_ref, dx0_ref, dxs_ref, dus_ref, dxl_ref, dx_scr):
+    """One forward stage: du = -K dx - k; dx' = A dx + B du + c.
+
+    All matrix inputs are stored contraction-index-leading (A^T/B^T/K^T
+    orientation), so every product is the leading-dim `_mv` contraction."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dx_scr[...] = dx0_ref[...]
+
+    dx = dx_scr[...]
+    du = -_mv(KT_ref[0], dx) - k_ref[0]
+    dxs_ref[0] = dx
+    dus_ref[0] = du
+    dxn = _mv(AT_ref[0], dx) + _mv(BT_ref[0], du) + c_ref[0]
+    dx_scr[...] = dxn
+    dxl_ref[...] = dxn  # revisited every stage; the last stage's value survives
 
 
 def riccati_backward_pallas(nodes, masks, dual_eps: float, huu_reg: float, interpret: bool):
@@ -225,7 +248,7 @@ def riccati_backward_pallas(nodes, masks, dual_eps: float, huu_reg: float, inter
         )
 
     kern = functools.partial(_backward_kernel, nu, ne, nx, dual_eps, huu_reg)
-    K_t, k_t = pl.pallas_call(
+    K_t, k_t, KT_t = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -242,10 +265,11 @@ def riccati_backward_pallas(nodes, masks, dual_eps: float, huu_reg: float, inter
             vec_spec(nu),  # qu
             vec_spec(ne),  # mask
         ],
-        out_specs=[mat_spec(nu, nx), vec_spec(nu)],
+        out_specs=[mat_spec(nu, nx), vec_spec(nu), mat_spec(nx, nu)],
         out_shape=[
             jax.ShapeDtypeStruct((N, nu, nx, Bp), dt),
             jax.ShapeDtypeStruct((N, nu, Bp), dt),
+            jax.ShapeDtypeStruct((N, nx, nu, Bp), dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((nx, nx, LANE), dt),
@@ -259,4 +283,71 @@ def riccati_backward_pallas(nodes, masks, dual_eps: float, huu_reg: float, inter
 
     K = jnp.moveaxis(K_t[..., :Bb], -1, 0)  # (B, N, nu, nx)
     kk = jnp.moveaxis(k_t[..., :Bb], -1, 0)  # (B, N, nu)
-    return K, kk
+    return K, kk, (KT_t, c_t, grid, dt)
+
+
+def riccati_solve_pallas(nodes, masks, dx0, dual_eps: float, huu_reg: float, interpret: bool):
+    """Backward sweep + forward rollout, both as whole-horizon kernels.
+
+    Returns (K (B,N,nu,nx), k (B,N,nu), dx_all (B,N+1,nx), du (B,N,nu)).
+    """
+    Bb, N, nx, nu = nodes.B.shape
+    Bp = -(-Bb // LANE) * LANE
+    K, kk, (KT_t, c_t, grid, dt) = riccati_backward_pallas(
+        nodes, masks, dual_eps, huu_reg, interpret
+    )
+    k_t = jnp.moveaxis(kk, 0, -1)
+    if Bp != Bb:
+        k_t = jnp.pad(k_t, ((0, 0), (0, 0), (0, Bp - Bb)))
+
+    def tr_lanes(x):
+        # (B, N, r, c) -> (N, c, r, Bp): contraction-index-leading + batch last
+        x = jnp.transpose(x, (1, 3, 2, 0))
+        if Bp != Bb:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Bp - Bb)))
+        return x
+
+    AT_t = tr_lanes(nodes.A)  # (N, nx, nx, Bp), A^T orientation
+    BT_t = tr_lanes(nodes.B)  # (N, nu, nx, Bp)
+    dx0_t = jnp.moveaxis(dx0, 0, -1)
+    if Bp != Bb:
+        dx0_t = jnp.pad(dx0_t, ((0, 0), (0, Bp - Bb)))
+
+    def mat_fwd(r, cdim):
+        return pl.BlockSpec(
+            (1, r, cdim, LANE), lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    def vec_fwd(r):
+        return pl.BlockSpec((1, r, LANE), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
+
+    fixed = lambda r: pl.BlockSpec((r, LANE), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+
+    dxs_t, dus_t, dxl_t = pl.pallas_call(
+        _forward_kernel,
+        grid=grid,
+        in_specs=[
+            mat_fwd(nx, nx),  # A^T
+            mat_fwd(nu, nx),  # B^T
+            vec_fwd(nx),  # c
+            mat_fwd(nx, nu),  # K^T
+            vec_fwd(nu),  # k
+            fixed(nx),  # dx0
+        ],
+        out_specs=[vec_fwd(nx), vec_fwd(nu), fixed(nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nx, Bp), dt),
+            jax.ShapeDtypeStruct((N, nu, Bp), dt),
+            jax.ShapeDtypeStruct((nx, Bp), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((nx, LANE), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(AT_t, BT_t, c_t, KT_t, k_t, dx0_t)
+
+    dxs = jnp.moveaxis(dxs_t[..., :Bb], -1, 0)  # (B, N, nx)
+    dus = jnp.moveaxis(dus_t[..., :Bb], -1, 0)  # (B, N, nu)
+    dx_all = jnp.concatenate([dxs, jnp.moveaxis(dxl_t[:, :Bb], -1, 0)[:, None]], axis=1)
+    return K, kk, dx_all, dus

@@ -104,35 +104,18 @@ def solve_lqr(nodes: LinearizedNode, eq_masks, dx0) -> RiccatiSolution:
     return RiccatiSolution(dx=dx_all, du=dus, K=Ks, k=ks, expected_decrease=pred)
 
 
-def _forward_rollout_batched(nodes, Ks, ks, dx0):
-    """Batched forward pass: nodes (B, N, ...), Ks (B, N, nu, nx), dx0 (B, nx)."""
-
-    def step(dx, inp):
-        A, B, c, K, k = inp
-        du = -jnp.einsum("bux,bx->bu", K, dx) - k
-        dx_next = (
-            jnp.einsum("bxy,by->bx", A, dx) + jnp.einsum("bxu,bu->bx", B, du) + c
-        )
-        return dx_next, (dx, du)
-
-    # scan over the stage axis: move it leading
-    seq = tuple(jnp.swapaxes(a, 0, 1) for a in (nodes.A, nodes.B, nodes.c, Ks, ks))
-    dx_last, (dxs, dus) = jax.lax.scan(step, dx0, seq)
-    dxs = jnp.swapaxes(dxs, 0, 1)
-    dx_all = jnp.concatenate([dxs, dx_last[:, None]], axis=1)
-    dus = jnp.swapaxes(dus, 0, 1)
-    pred = jnp.sum(nodes.qx * dxs, axis=(1, 2)) + jnp.sum(nodes.qu * dus, axis=(1, 2))
-    return dx_all, dus, pred
-
-
 def _solve_lqr_pallas_batched(nodes, eq_masks, dx0):
-    from ..ops.pallas_riccati import riccati_backward_pallas
+    from ..ops.pallas_riccati import riccati_solve_pallas
 
     plat = jax.local_devices()[0].platform.lower()
     interpret = plat not in ("tpu", "axon")
     dual_eps, huu_reg = _regs(nodes.A.dtype)
-    Ks, ks = riccati_backward_pallas(nodes, eq_masks, dual_eps, huu_reg, interpret)
-    dx_all, dus, pred = _forward_rollout_batched(nodes, Ks, ks, dx0)
+    Ks, ks, dx_all, dus = riccati_solve_pallas(
+        nodes, eq_masks, dx0, dual_eps, huu_reg, interpret
+    )
+    pred = jnp.sum(nodes.qx * dx_all[:, :-1], axis=(1, 2)) + jnp.sum(
+        nodes.qu * dus, axis=(1, 2)
+    )
     return RiccatiSolution(dx=dx_all, du=dus, K=Ks, k=ks, expected_decrease=pred)
 
 
