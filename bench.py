@@ -57,8 +57,17 @@ def main():
     riccati = os.environ.get(
         "BENCH_RICCATI", "pallas" if plat in ("tpu", "axon") else "sequential"
     )
+    # whole-horizon lane-layout merit kernel (ops/pallas_merit.py): the line
+    # search was ~10 ms/candidate of XLA lane-starved small ops at B=256
+    merit = os.environ.get(
+        "BENCH_MERIT", "pallas" if plat in ("tpu", "axon") else "xla"
+    )
     settings = dataclasses.replace(
-        iface.settings, sqp_iterations=1, linesearch_alphas=alphas, riccati=riccati
+        iface.settings,
+        sqp_iterations=1,
+        linesearch_alphas=alphas,
+        riccati=riccati,
+        merit=merit,
     )
     rm = iface.make_reference_manager()
     rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)

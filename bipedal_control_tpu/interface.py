@@ -94,6 +94,13 @@ def make_interface(
         position_error_gain=task.position_error_gain,
         integrator=task.sqp.integrator,
     )
+    if info.model_type == 0:
+        # warm the Pallas merit kernel's static-model cache while the model
+        # arrays are concrete (under jit the pytree leaves become tracers and
+        # the numpy extraction would fail — ops/pallas_merit._get_static)
+        from .ops.pallas_merit import _get_static
+
+        _get_static(model, info)
     command_config = CommandConfig(
         com_height=task.com_height,
         default_joint_state=task.default_joint_state,

@@ -67,6 +67,10 @@ class OcpSettings:
     # (square-root associative scan, f32-capable — solver/parallel_riccati.py)
     riccati: str = "sequential"
     riccati_penalty: float = 1e6  # parallel backends only (use ~1e4 for f32)
+    # Line-search merit backend: "xla" (vmapped node_eval) or "pallas"
+    # (whole-horizon lane-layout kernel, ops/pallas_merit.py — the TPU
+    # production path; FK-free cost terms stay outside as MXU matmuls)
+    merit: str = "xla"
 
     @property
     def num_intervals(self) -> int:

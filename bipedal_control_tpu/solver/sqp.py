@@ -89,6 +89,31 @@ def _performance(model, info, settings, Q, R, xs, us, refs: NodeRefs):
     return jnp.sum(costs), jnp.sum(viols), jnp.sum(d1), jnp.sum(e1)
 
 
+def _candidate_costs(info, settings, Q, R, xs_c, us_c, refs: NodeRefs):
+    """dt-scaled tracking + cone-barrier cost per step candidate, over
+    (A, N, .) stacked candidates — the FK-free part of node_eval, evaluated
+    as flat MXU matmuls so the Pallas merit kernel only carries FK outputs."""
+    from ..model.centroidal import get_contact_forces
+    from ..ocp.problem import relaxed_barrier
+
+    dx = xs_c - refs.x_nom[None]
+    du = us_c - refs.u_nom[None]
+    quad = 0.5 * jnp.sum((dx @ Q) * dx, axis=-1) + 0.5 * jnp.sum(
+        (du @ R) * du, axis=-1
+    )  # (A, N)
+    forces = get_contact_forces(us_c, info)  # (A, N, 4, 3)
+    f_tan = jnp.sqrt(
+        forces[..., 0] ** 2 + forces[..., 1] ** 2 + settings.cone_regularization
+    )
+    cones = (
+        settings.friction_coefficient * (forces[..., 2] + settings.gripper_force)
+        - f_tan
+    )
+    pen = relaxed_barrier(cones, settings.barrier_mu, settings.barrier_delta)
+    per_node = quad + jnp.sum(refs.contact_flags[None] * pen, axis=-1)
+    return jnp.sum(refs.dt[None] * per_node, axis=-1)  # (A,)
+
+
 def _filter_accept(cost_base, viol_base, cost_step, viol_step):
     """OCS2 FilterLinesearch acceptance: infeasible iterates must reduce
     violation; near-feasible steps must reduce cost; in between either."""
@@ -151,12 +176,35 @@ def sqp_solve(
 
         alphas = jnp.asarray(settings.linesearch_alphas)
 
-        def try_alpha(a):
-            xs_a = xs + a * sol.dx
-            us_a = us + a * sol.du
-            return _performance(model, info, settings, Q, R, xs_a, us_a, refs)
+        if settings.merit == "pallas":
+            from ..ops.pallas_merit import make_merit_sums
 
-        costs_a, viols_a, d1_a, e1_a = jax.vmap(try_alpha)(alphas)
+            merit_fn = make_merit_sums(model, info, settings)
+            n_a = len(settings.linesearch_alphas)
+            xs_c = xs[None] + alphas[:, None, None] * sol.dx[None]  # (A, N+1, nx)
+            us_c = us[None] + alphas[:, None, None] * sol.du[None]
+            bc = lambda a: jnp.broadcast_to(a[None], (n_a,) + a.shape)
+            sums = merit_fn(
+                xs_c[:, :-1],
+                us_c,
+                xs_c[:, 1:],
+                bc(refs.contact_flags),
+                bc(refs.swing_vref),
+                bc(refs.swing_pref),
+                bc(refs.dt),
+            )  # (A, N, 4): [|defect|, defect^2, |eq|, eq^2] per node
+            d1_a = jnp.sum(sums[..., 0], axis=1)
+            viols_a = jnp.sum(sums[..., 1] + sums[..., 3], axis=1)
+            e1_a = jnp.sum(sums[..., 2], axis=1)
+            costs_a = _candidate_costs(info, settings, Q, R, xs_c[:, :-1], us_c, refs)
+        else:
+
+            def try_alpha(a):
+                xs_a = xs + a * sol.dx
+                us_a = us + a * sol.du
+                return _performance(model, info, settings, Q, R, xs_a, us_a, refs)
+
+            costs_a, viols_a, d1_a, e1_a = jax.vmap(try_alpha)(alphas)
         # alpha = 0 baseline from the node data the linearization already holds
         e_masked = masks * nodes.e
         cost0 = jnp.sum(nodes.cost)
