@@ -58,9 +58,12 @@ def main():
         "BENCH_RICCATI", "pallas" if plat in ("tpu", "axon") else "sequential"
     )
     # whole-horizon lane-layout merit kernel (ops/pallas_merit.py): the line
-    # search was ~10 ms/candidate of XLA lane-starved small ops at B=256
+    # search was ~10 ms/candidate of XLA lane-starved small ops at B=256.
+    # The kernel only supports FullCentroidalDynamics (model_type 0); SRBD
+    # tasks fall back to the XLA merit.
     merit = os.environ.get(
-        "BENCH_MERIT", "pallas" if plat in ("tpu", "axon") else "xla"
+        "BENCH_MERIT",
+        "pallas" if plat in ("tpu", "axon") and iface.info.model_type == 0 else "xla",
     )
     settings = dataclasses.replace(
         iface.settings,

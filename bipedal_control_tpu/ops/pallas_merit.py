@@ -153,13 +153,44 @@ def _merit_kernel(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref, o
 _static_cache: dict = {}
 
 
+def _model_fingerprint(model) -> str:
+    """Hash of the model's numeric parameter arrays (concrete leaves only):
+    two same-named/same-topology models with different numerics (payload or
+    parameter-perturbed variants) must not share cached tables."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(model):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
 def _get_static(model, info):
-    """StaticModel + tables for (robot, contacts), cached by the model's
-    hashable identity (name + topology).  The numpy extraction must run on
-    CONCRETE arrays: under jit, a closure-captured RobotModel pytree is
-    rebuilt with tracer leaves, so interface construction warms this cache
-    eagerly (interface.py) and traced calls are cache hits."""
-    key = (model.name, model.nj, tuple(int(f) for f in info.contact_frame_ids))
+    """StaticModel + tables for a concrete model, cached by topology + a
+    numeric-parameter fingerprint.  The numpy extraction must run on CONCRETE
+    arrays: under jit, a closure-captured RobotModel pytree is rebuilt with
+    tracer leaves, so interface construction warms this cache eagerly
+    (interface.py).  Traced calls resolve against the warmed cache by
+    topology; they fail loudly when the cache is cold or ambiguous instead of
+    surfacing a numpy-on-tracer error (or silently reusing wrong tables)."""
+    topo = (model.name, model.nj, tuple(int(f) for f in info.contact_frame_ids))
+    if any(isinstance(leaf, jax.core.Tracer) for leaf in jax.tree_util.tree_leaves(model)):
+        hits = [v for k, v in _static_cache.items() if k[0] == topo]
+        if len(hits) == 1:
+            return hits[0]
+        if not hits:
+            raise RuntimeError(
+                "merit='pallas' requires the static-model cache to be warmed on "
+                f"concrete model arrays before tracing (robot {model.name!r}). "
+                "Build the model through RobotInterface (interface.py warms the "
+                "cache) or call merit_sums_flat once outside jit."
+            )
+        raise RuntimeError(
+            f"merit='pallas': {len(hits)} distinct models named {model.name!r} "
+            "with the same topology were warmed; a traced call cannot tell them "
+            "apart. Give parameter-perturbed variants distinct model names."
+        )
+    key = (topo, _model_fingerprint(model))
     if key not in _static_cache:
         sm = PL.make_static_model(model, info.contact_frame_ids)
         _static_cache[key] = (sm, PL.tables_np(sm))
