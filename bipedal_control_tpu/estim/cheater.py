@@ -4,12 +4,15 @@ Equivalent of FromTopicStateEstimate (bipedal_estimation/src/FromTopicEstimate.c
 assembles the rbdState vector from simulator ground truth
 [euler_zyx, pos, q_j, omega_world, v_world, dq_j] — the layout consumed by the
 WBC and the centroidal conversions (StateEstimateBase.cpp:35-64).
+
+Pure numpy: the estimator feeds the 400-500 Hz RT tick, which must never
+dispatch to the accelerator (model/host_model.py docstring).
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
-from ..utils.rotations import zyx_from_quat_wxyz
+from ..model.host_model import unwrap_near_np, zyx_from_quat_wxyz_np
 
 
 def rbd_state_from_ground_truth(
@@ -22,18 +25,16 @@ def rbd_state_from_ground_truth(
     last_yaw=None,
 ):
     """Build rbdState; optionally unwraps yaw continuity against last_yaw."""
-    euler = zyx_from_quat_wxyz(jnp.asarray(base_quat_wxyz))
+    euler = zyx_from_quat_wxyz_np(np.asarray(base_quat_wxyz))
     if last_yaw is not None:
-        from ..utils.rotations import unwrap_near
-
-        euler = euler.at[0].set(unwrap_near(euler[0], last_yaw))
-    return jnp.concatenate(
+        euler[0] = unwrap_near_np(euler[0], last_yaw)
+    return np.concatenate(
         [
             euler,
-            jnp.asarray(base_pos),
-            jnp.asarray(joint_pos),
-            jnp.asarray(base_ang_vel_world),
-            jnp.asarray(base_lin_vel_world),
-            jnp.asarray(joint_vel),
+            np.asarray(base_pos),
+            np.asarray(joint_pos),
+            np.asarray(base_ang_vel_world),
+            np.asarray(base_lin_vel_world),
+            np.asarray(joint_vel),
         ]
     )
