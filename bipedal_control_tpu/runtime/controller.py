@@ -19,8 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..interface import RobotInterface
-from ..model.centroidal import centroidal_state_from_rbd
-from ..utils.rotations import unwrap_near
 from ..utils.timing import RepeatedTimer
 from ..wbc.tasks import WbcTaskConfig
 from ..wbc.weighted_wbc import wbc_update
@@ -45,12 +43,24 @@ class ControllerConfig:
     use_feedback_policy: bool = True
     joint_kp: float = 80.0  # BipedalControllerParams.cfg leg_motor_*_kp default
     joint_kd: float = 5.0
-    # Runtime WBC weight override (the reference exposes these through
-    # dynamic_reconfigure, BipedalController.cpp:407-478).  task.info ships
-    # baseAccel weight 1.0, under which the contact-force tracking rows
-    # (hundreds of N) numerically dominate the base recovery PD and the robot
-    # tips over in physics; 10.0 balances H1 stably in MuJoCo.
-    weight_base_accel: float | None = 10.0
+    # Asynchronous MPC worker (the reference's defining runtime split:
+    # BipedalController.cpp:319-352 MPC thread at 50 Hz feeding the 400 Hz
+    # control thread through a lock-free policy buffer).  When True the MPC
+    # solve runs on a background thread publishing through the native
+    # seqlock slot and update() never blocks on a solve; when False the
+    # replan happens synchronously inside the tick (dummy-loop style).
+    mpc_async: bool = False
+    # State-estimator selection: "cheater" consumes ground-truth rbdState
+    # (FromTopicStateEstimate semantics); "kalman" runs the contact LKF on
+    # IMU + joint sensors via update_from_sensors (the estimator the
+    # reference declares but never implemented — LinearKalmanFilter.h:27-67).
+    estimator: str = "cheater"
+    # Optional in-process WBC weight override (dynamic_reconfigure analogue,
+    # BipedalController.cpp:407-478).  Persistent tuning belongs in the
+    # robot's overrides.info overlay (configs/<robot>/overrides.info, applied
+    # and logged by the config loader) — H1's stability-critical
+    # weight.baseAccel 10.0 lives there, not here.
+    weight_base_accel: float | None = None
 
 
 def wbc_config_from_task(task) -> WbcTaskConfig:
@@ -83,43 +93,162 @@ class BipedalController:
         self.last_wbc_decision = None
         self.safe = True
         self.wbc_timer = RepeatedTimer("wbc")
+        self.tick_timer = RepeatedTimer("tick_ex_wbc")  # tick minus the WBC QP
+        self.staleness: list[float] = []  # t_tick - t_obs of consumed policy
+        self.last_observation: tuple[float, np.ndarray] | None = None  # (t, x_obs)
         self.last_frozen = None
+        self.async_mpc = None
+        if self.cfg.mpc_async:
+            from .async_mpc import AsyncMpcRunner
+
+            self.async_mpc = AsyncMpcRunner(self.mpc, self.cfg.mpc_frequency)
+        self.estimator = None
+        if self.cfg.estimator == "kalman":
+            from ..estim.estimator import KalmanStateEstimator
+
+            self.estimator = KalmanStateEstimator(iface.model, iface.info)
+        elif self.cfg.estimator != "cheater":
+            raise ValueError(f"unknown estimator {self.cfg.estimator!r}")
 
         model, info = iface.model, iface.info
         wbc_cfg = self.wbc_cfg
 
         @jax.jit
-        def _observe(rbd):
-            return centroidal_state_from_rbd(model, info, rbd)
-
-        @jax.jit
         def _wbc(x_des, u_des, rbd, flags):
             return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
 
-        self._observe = _observe
         self._wbc = _wbc
+        # observation runs host-side numpy: the tick path must never dispatch
+        # to the accelerator (model/host_model.py docstring)
+        from ..model.host_model import make_host_model
+
+        self._hm = make_host_model(model, info)
 
     # ------------------------------------------------------------------
     def starting(self, t: float, rbd_measured) -> None:
-        """Reset + blocking initial solve (BipedalController::starting)."""
-        self.mpc.reset()
+        """Reset + blocking initial solve (BipedalController::starting); in
+        async mode the initial solve also primes the worker, which then
+        replans in the background (cpp:147-157 initial-policy sync loop)."""
         self.last_yaw = float(rbd_measured[0])
         x_obs = self._observation(rbd_measured)
-        self.mpc.advance(t, x_obs)
+        if self.async_mpc is not None:
+            self.async_mpc.prime(t, np.asarray(x_obs))
+            self.async_mpc.start()
+        else:
+            self.mpc.reset()
+            self.mpc.advance(t, x_obs)
         self.last_mpc_time = t
         self.safe = True
 
+    def stop(self) -> None:
+        """Join the MPC worker (controller unload)."""
+        if self.async_mpc is not None:
+            self.async_mpc.stop()
+
+    def _planned_flags(self, t: float) -> np.ndarray:
+        """Planned contact flags at t from the latest policy's gait table;
+        all-stance before the first policy (the reference hardcodes STANCE,
+        BipedalController.cpp:372-377 — we do better once a plan exists)."""
+        if self.async_mpc is not None:
+            snap = self.async_mpc.poll_policy()
+            if snap is not None:
+                from .async_mpc import contact_flags_at_np
+
+                return contact_flags_at_np(snap, t)
+        elif self.mpc.last_frozen is not None:
+            return np.asarray(self.mpc.last_frozen.gait.contact_flags_at(jnp.asarray(t)))
+        return np.ones(4)
+
+    def starting_from_sensors(
+        self, t: float, imu_quat_wxyz, gyro_local, accel_local, joint_pos, joint_vel,
+        base_pos_guess,
+    ) -> None:
+        """Kalman-estimator bring-up: seed the LKF at the known initial pose
+        (the initial-pose controller hands over from a known configuration),
+        then run the normal blocking initial solve."""
+        assert self.estimator is not None, "configure estimator='kalman'"
+        self.estimator.reset(imu_quat_wxyz, joint_pos, base_pos_guess)
+        rbd = self.estimator.update(
+            imu_quat_wxyz, gyro_local, accel_local, joint_pos, joint_vel, np.ones(4)
+        )
+        self.starting(t, jnp.asarray(rbd))
+
+    def update_from_sensors(
+        self, t: float, imu_quat_wxyz, gyro_local, accel_local, joint_pos, joint_vel,
+        contact_flags_meas=None,
+    ) -> JointCommand:
+        """One control tick from raw sensors: LKF estimate -> cascade.
+        contact_flags_meas (a contact-sensor readout, when the platform has
+        one) overrides the planned gait flags fed to the filter."""
+        assert self.estimator is not None, "configure estimator='kalman'"
+        flags = (
+            np.asarray(contact_flags_meas, dtype=float)
+            if contact_flags_meas is not None
+            else self._planned_flags(t)
+        )
+        rbd = self.estimator.update(
+            imu_quat_wxyz, gyro_local, accel_local, joint_pos, joint_vel, flags
+        )
+        return self.update(t, jnp.asarray(rbd), contact_flags_meas=flags)
+
+    def set_gait(self, template, start_time: float) -> None:
+        """Gait command entry point, safe in both modes (GaitReceiver)."""
+        if self.async_mpc is not None:
+            self.async_mpc.set_gait(template, start_time)
+        else:
+            self.mpc.rm.set_gait(template, start_time)
+
+    def set_target(self, target) -> None:
+        """Target-trajectory command (TargetTrajectoriesPublisher sink)."""
+        if self.async_mpc is not None:
+            self.async_mpc.set_target(target)
+        else:
+            self.mpc.rm.set_target(target)
+
+    def report(self) -> dict:
+        """Runtime timing/staleness summary (the shutdown printout of
+        BipedalController.cpp:44-50, plus the policy-staleness metric)."""
+        out = {
+            "tick_ex_wbc": self.tick_timer.stats(),
+            "wbc": self.wbc_timer.stats(),
+        }
+        if self.staleness:
+            arr = np.asarray(self.staleness)
+            out["policy_staleness_s"] = {
+                "p50": float(np.percentile(arr, 50)),
+                "p99": float(np.percentile(arr, 99)),
+                "max": float(arr.max()),
+            }
+        if self.async_mpc is not None:
+            out["mpc"] = self.async_mpc.solve_timer.stats()
+            out["mpc_solves"] = self.async_mpc.solve_count
+        else:
+            out["mpc"] = self.mpc.timer.stats()
+        return out
+
     def _observation(self, rbd_measured):
-        x = self._observe(jnp.asarray(rbd_measured))
-        # yaw continuity (BipedalController.cpp:400-403)
-        yaw = float(unwrap_near(x[9], self.last_yaw))
-        self.last_yaw = yaw
-        return x.at[9].set(yaw)
+        from ..model.host_model import centroidal_state_from_rbd_np
+
+        x = centroidal_state_from_rbd_np(self._hm, np.asarray(rbd_measured))
+        # yaw continuity (BipedalController.cpp:400-403): shift by 2*pi
+        # multiples to land nearest the previous yaw (numpy unwrap_near)
+        yaw = x[9]
+        yaw = self.last_yaw + (np.mod(yaw - self.last_yaw + np.pi, 2 * np.pi) - np.pi)
+        self.last_yaw = float(yaw)
+        x[9] = yaw
+        return x
 
     def update(self, t: float, rbd_measured, contact_flags_meas=None) -> JointCommand:
-        """One 400-500 Hz control tick."""
-        rbd = jnp.asarray(rbd_measured)
+        """One 400-500 Hz control tick.  In async mode this never blocks on
+        an MPC solve: it publishes the observation, consumes the newest
+        policy snapshot, and evaluates it host-side (BipedalHWLoop consumer
+        semantics)."""
+        import time as _time
+
+        tick_t0 = _time.perf_counter()
+        rbd = np.asarray(rbd_measured)
         x_obs = self._observation(rbd)
+        self.last_observation = (t, x_obs)
 
         if not check_orientation(rbd):
             self.safe = False
@@ -128,38 +257,55 @@ class BipedalController:
             zero = np.zeros(nj)
             return JointCommand(zero, zero, zero, np.full(nj, self.cfg.joint_kd), zero)
 
-        # replan at mpcDesiredFrequency
-        if t - self.last_mpc_time >= 1.0 / self.cfg.mpc_frequency - 1e-9:
-            self.mpc.advance(t, x_obs)
-            self.last_mpc_time = t
+        if self.async_mpc is not None:
+            from .async_mpc import contact_flags_at_np, evaluate_policy_np
 
-        sol = self.mpc.last_solution
-        pol = evaluate_policy(sol, t, x_obs, use_feedback=self.cfg.use_feedback_policy)
+            x_np = np.asarray(x_obs)
+            self.async_mpc.set_observation(t, x_np)
+            snap = self.async_mpc.poll_policy()
+            self.staleness.append(t - snap.t_obs)
+            pol = evaluate_policy_np(
+                snap, t, x_np, use_feedback=self.cfg.use_feedback_policy
+            )
+            x_star, u_fb = pol.x_star, pol.u_fb
+            flags = contact_flags_at_np(snap, t)
+        else:
+            # synchronous replan at mpcDesiredFrequency (dummy-loop style)
+            if t - self.last_mpc_time >= 1.0 / self.cfg.mpc_frequency - 1e-9:
+                self.mpc.advance(t, x_obs)
+                self.last_mpc_time = t
+            sol = self.mpc.last_solution
+            pol = evaluate_policy(sol, t, x_obs, use_feedback=self.cfg.use_feedback_policy)
+            x_star, u_fb = pol.x_star, pol.u_fb
+            # planned contact flags at t from the frozen gait of this solve
+            flags = self.mpc.last_frozen.gait.contact_flags_at(jnp.asarray(t))
 
-        # planned contact flags at t from the frozen gait table of this solve
-        frozen = self.mpc.last_frozen
-        flags = frozen.gait.contact_flags_at(jnp.asarray(t))
-
+        t_pre_wbc = _time.perf_counter()
         with self.wbc_timer:
-            res = self._wbc(pol.x_star, pol.u_fb, rbd, flags)
-            jax.block_until_ready(res.decision)
+            res = self._wbc(x_star, u_fb, rbd, flags)
+            decision_host = np.asarray(res.decision)  # device sync + host copy
+        t_post_wbc = _time.perf_counter()
         # qpOASES-failure fallback: reuse last solution (WeightedWbc.cpp:77-81).
         # Only genuine failures (non-finite) reject; finite-iteration ADMM
         # residuals are normal and must not freeze the torque on a stale value.
-        if bool(jnp.all(jnp.isfinite(res.decision))) or self.last_wbc_decision is None:
-            decision = res.decision
+        if np.all(np.isfinite(decision_host)) or self.last_wbc_decision is None:
+            decision = decision_host
             self.last_wbc_decision = decision
         else:
             decision = self.last_wbc_decision
 
         nj = self.iface.info.nj
-        tau = np.asarray(decision[-nj:])
-        pos_des = np.asarray(pol.x_star[12 : 12 + nj])
-        vel_des = np.asarray(pol.u_fb[12:])
-        return JointCommand(
+        tau = decision[-nj:]
+        pos_des = np.asarray(x_star)[12 : 12 + nj]
+        vel_des = np.asarray(u_fb)[12:]
+        cmd = JointCommand(
             pos_des=pos_des,
             vel_des=vel_des,
             kp=np.full(nj, self.cfg.joint_kp),
             kd=np.full(nj, self.cfg.joint_kd),
             tau_ff=tau,
         )
+        self.tick_timer.samples.append(
+            (t_pre_wbc - tick_t0) + (_time.perf_counter() - t_post_wbc)
+        )
+        return cmd

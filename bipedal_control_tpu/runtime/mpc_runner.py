@@ -96,9 +96,20 @@ class MpcRunner:
         self.last_solution = None
         self.last_frozen = None
 
+    # command-channel sink (CommandRouter): same surface as AsyncMpcRunner
+    def set_gait(self, template, start_time: float) -> None:
+        self.rm.set_gait(template, start_time)
+
+    def set_target(self, target) -> None:
+        self.rm.set_target(target)
+
     def advance(self, t: float, x_measured) -> SqpSolution:
         """One replan (MPC_MRT_Interface::advanceMpc equivalent)."""
-        frozen = self.rm.freeze(t)
+        return self.advance_frozen(t, x_measured, self.rm.freeze(t))
+
+    def advance_frozen(self, t: float, x_measured, frozen) -> SqpSolution:
+        """Solve against an already-frozen reference set (the async worker
+        freezes under the gait lock, then solves outside it)."""
         self.last_frozen = frozen
         t_nodes = jnp.asarray(frozen.t_nodes)
         refs = build_refs(self.iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
