@@ -73,6 +73,79 @@ def test_mujoco_stance_balance(h1_sim_setup):
     assert pos[2] > 0.85, pos
 
 
+def _run_kalman(iface, sim, ctrl, duration, gait=None, gait_at=1.0):
+    """Closed loop driven from IMU + joint sensors through the contact LKF
+    (no ground truth on the control path)."""
+    control_dt = 1.0 / 500.0
+    substeps = max(1, int(round(control_dt / sim.timestep)))
+    gait_set = False
+    est_errs = []
+    for _ in range(int(duration / control_dt)):
+        if gait and sim.time > gait_at and not gait_set:
+            ctrl.set_gait(iface.task.gait_library[gait], start_time=sim.time + 0.1)
+            gait_set = True
+        imu = sim.imu()
+        qj, dqj = sim.joint_states()
+        cmd = ctrl.update_from_sensors(
+            sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj
+        )
+        assert np.all(np.isfinite(cmd.tau_ff))
+        est_errs.append(
+            np.linalg.norm(ctrl.estimator.base_position - sim.ground_truth()[0])
+        )
+        sim.apply_command(cmd)
+        sim.step(substeps)
+        if not ctrl.safe:
+            break
+    return sim.ground_truth()[0], np.asarray(est_errs)
+
+
+def test_mujoco_stance_kalman(h1_sim_setup):
+    """Standing balance with the contact LKF in the loop instead of ground
+    truth (the estimator the reference declares but ships empty —
+    LinearKalmanFilter.h:27-67; VERDICT round-1 item #3).  Asserts both
+    stability and a bounded base-position estimate error."""
+    from bipedal_control_tpu.runtime.controller import BipedalController, ControllerConfig
+
+    iface, sim = h1_sim_setup
+    _reset(iface, sim)
+    ctrl = BipedalController(iface, ControllerConfig(estimator="kalman"))
+    x0 = iface.initial_state
+    imu = sim.imu()
+    qj, dqj = sim.joint_states()
+    ctrl.starting_from_sensors(
+        sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
+        base_pos_guess=sim.ground_truth()[0],
+    )
+    pos, est_errs = _run_kalman(iface, sim, ctrl, 1.5)
+    assert ctrl.safe, f"safety stop, base at {pos}"
+    assert pos[2] > 0.85, pos
+    # estimate stays honest: bounded error throughout, small at the end
+    assert est_errs.max() < 0.10, est_errs.max()
+    assert est_errs[-1] < 0.05, est_errs[-1]
+
+
+def test_mujoco_standing_trot_kalman(h1_sim_setup):
+    """Standing trot with the LKF in the loop: swing feet inflate their
+    process noise and re-converge at touchdown while the robot steps."""
+    from bipedal_control_tpu.runtime.controller import BipedalController, ControllerConfig
+
+    iface, sim = h1_sim_setup
+    _reset(iface, sim)
+    ctrl = BipedalController(iface, ControllerConfig(estimator="kalman"))
+    imu = sim.imu()
+    qj, dqj = sim.joint_states()
+    ctrl.starting_from_sensors(
+        sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
+        base_pos_guess=sim.ground_truth()[0],
+    )
+    pos, est_errs = _run_kalman(iface, sim, ctrl, 3.0, gait="standing_trot", gait_at=1.0)
+    assert ctrl.safe, f"safety stop, base at {pos}"
+    assert pos[2] > 0.85, pos
+    assert abs(pos[0]) < 0.3 and abs(pos[1]) < 0.3, pos
+    assert est_errs.max() < 0.15, est_errs.max()
+
+
 def test_mujoco_standing_trot(h1_sim_setup):
     """Full cascade stepping in place: stance settle, then standing_trot gait
     cycles in real physics (BASELINE config: gait switching + physics loop)."""
