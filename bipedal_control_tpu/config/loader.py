@@ -115,9 +115,36 @@ def _mode_sequence_template(tree: dict, key: str) -> ModeSequenceTemplate:
     return ModeSequenceTemplate(times, modes)
 
 
-def load_task_config(task_file: str, reference_file: str, gait_file: str | None = None) -> TaskConfig:
+def _merge_overrides(tree: dict, overrides: dict, prefix: str = "") -> list[str]:
+    """Deep-merge an override tree into a task tree; returns the overridden
+    leaf paths (dynamic-reconfigure analogue: BipedalControllerParams.cfg
+    applied at BipedalController.cpp:407-478, here as a declarative file)."""
+    applied = []
+    for key, val in overrides.items():
+        path = f"{prefix}{key}"
+        if isinstance(val, dict):
+            sub = tree.setdefault(key, {})
+            if not isinstance(sub, dict):
+                tree[key] = sub = {}
+            applied += _merge_overrides(sub, val, path + ".")
+        else:
+            applied.append(f"{path} = {val}" + (f" (was {tree[key]})" if key in tree else ""))
+            tree[key] = val
+    return applied
+
+
+def load_task_config(
+    task_file: str,
+    reference_file: str,
+    gait_file: str | None = None,
+    overrides_file: str | None = None,
+) -> TaskConfig:
     t = info.load_info(task_file)
     r = info.load_info(reference_file)
+    if overrides_file and os.path.exists(overrides_file):
+        applied = _merge_overrides(t, info.load_info(overrides_file))
+        for line in applied:
+            print(f"[config] override ({os.path.basename(overrides_file)}): {line}")
 
     joint_names = info.get_string_list(t, "model_settings.jointNames")
     contact_names = info.get_string_list(t, "model_settings.contactNames3DoF")

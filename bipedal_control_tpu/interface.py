@@ -69,8 +69,9 @@ def make_interface(
     task_file: str,
     reference_file: str,
     gait_file: str | None = None,
+    overrides_file: str | None = None,
 ) -> RobotInterface:
-    task = load_task_config(task_file, reference_file, gait_file)
+    task = load_task_config(task_file, reference_file, gait_file, overrides_file)
     # Upper-body joints are welded at zero like the reference's reduced
     # pinocchio model (createPinocchioInterface with jointNames).
     desc = load_urdf(urdf_path, task.joint_names, extra_frames=task.extra_frames or None)
@@ -125,4 +126,10 @@ def make_interface_for(robot: str | RobotAssets) -> RobotInterface:
             f"robot '{assets.name}' ships description only (no task config); "
             "pass explicit files to make_interface()"
         )
-    return make_interface(assets.urdf, assets.task_info, assets.reference_info, assets.gait_info)
+    return make_interface(
+        assets.urdf,
+        assets.task_info,
+        assets.reference_info,
+        assets.gait_info,
+        overrides_file=assets.overrides_info,
+    )

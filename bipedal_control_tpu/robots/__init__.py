@@ -24,9 +24,16 @@ class RobotAssets:
     reference_info: str | None
     gait_info: str | None
     mjcf: str | None = None
+    # optional .info overlay applied on top of task.info (declarative
+    # dynamic-reconfigure: runtime-tuned knobs live in a file, logged on load)
+    overrides_info: str | None = None
 
     def exists(self) -> bool:
         return os.path.exists(self.urdf)
+
+
+def _local_config(rel: str) -> str:
+    return os.path.join(os.path.dirname(__file__), "../../configs", rel)
 
 
 def _example(rel: str) -> str:
@@ -41,6 +48,7 @@ REGISTRY: dict[str, RobotAssets] = {
         reference_info=_example("unitree_h1/h1_ocs2_config/config/command/reference.info"),
         gait_info=_example("unitree_h1/h1_ocs2_config/config/command/gait.info"),
         mjcf=_example("unitree_h1/h1_description/mjcf/scene.xml"),
+        overrides_info=_local_config("h1/overrides.info"),
     ),
     "hunter": RobotAssets(
         name="hunter",
@@ -55,6 +63,8 @@ REGISTRY: dict[str, RobotAssets] = {
         task_info=_example("openloong_description/config/task/task.info"),
         reference_info=_example("openloong_description/config/command/reference.info"),
         gait_info=_example("openloong_description/config/command/gait.info"),
+        mjcf=_example("openloong_description/mjcf/scene.xml"),
+        overrides_info=_local_config("openloong/overrides.info"),
     ),
     "g1": RobotAssets(
         name="g1",
