@@ -34,21 +34,44 @@ class FrozenReferences(NamedTuple):
 def build_time_grid(t0: float, horizon: float, num_intervals: int, event_times) -> np.ndarray:
     """Uniform grid with nodes snapped to mode-switch times.
 
-    OCS2 inserts event times into the shooting grid so constraint activation
-    changes exactly at phase boundaries; with static shapes we instead *move*
-    the nearest interior node onto each event (keeping N fixed)."""
-    grid = np.linspace(t0, t0 + horizon, num_intervals + 1)
-    dt = horizon / num_intervals
+    OCS2 *inserts* event times into the shooting grid so constraint
+    activation changes exactly at phase boundaries; with static shapes we
+    instead pin distinct interior nodes to the events and re-space the
+    remaining nodes uniformly between consecutive pins.  Unlike naive
+    nearest-node snapping, clustered events (several switches inside one dt
+    bucket) each get their own node and the segments between pins stay
+    evenly conditioned — no arbitrarily displaced node, no near-zero
+    interval unless two events genuinely almost coincide."""
+    tf = t0 + horizon
     eps = 1e-9
-    for ev in event_times:
-        if ev <= t0 + eps or ev >= t0 + horizon - eps or not np.isfinite(ev):
-            continue
-        idx = int(np.clip(round((ev - t0) / dt), 1, num_intervals - 1))
-        grid[idx] = ev
-    # enforce strict monotonicity in pathological clusters
-    for i in range(1, len(grid)):
-        if grid[i] <= grid[i - 1]:
-            grid[i] = grid[i - 1] + 1e-6
+    # distinct interior events, earliest num_intervals-1 if oversubscribed
+    evs = sorted(
+        ev for ev in np.atleast_1d(np.asarray(event_times, dtype=float))
+        if np.isfinite(ev) and t0 + eps < ev < tf - eps
+    )
+    dedup: list[float] = []
+    for ev in evs:
+        if not dedup or ev - dedup[-1] > 1e-6:
+            dedup.append(ev)
+    dedup = dedup[: num_intervals - 1]
+
+    # assign strictly increasing node indices near each event's uniform slot
+    dt = horizon / num_intervals
+    idxs: list[int] = []
+    for k, ev in enumerate(dedup):
+        ideal = int(round((ev - t0) / dt))
+        lo = (idxs[-1] + 1) if idxs else 1
+        hi = num_intervals - (len(dedup) - k)  # room for the events after
+        idxs.append(int(np.clip(ideal, lo, hi)))
+
+    # uniform spacing between consecutive pinned anchors
+    anchors_i = [0] + idxs + [num_intervals]
+    anchors_t = [t0] + dedup + [tf]
+    grid = np.empty(num_intervals + 1)
+    for (ia, ta), (ib, tb) in zip(
+        zip(anchors_i, anchors_t), zip(anchors_i[1:], anchors_t[1:])
+    ):
+        grid[ia : ib + 1] = np.linspace(ta, tb, ib - ia + 1)
     return grid
 
 

