@@ -95,26 +95,62 @@ def cmd_sim(args):
         base_pos=x0[6:9], base_quat_wxyz=np.array([1.0, 0, 0, 0]),
         joint_pos=x0[12:], upper_joint_targets=upper,
     )
-    ctrl = BipedalController(iface)
-    if args.gait != "stance":
-        ctrl.mpc.rm.set_gait(iface.task.gait_library[args.gait], start_time=sim.time + 0.3)
-    ctrl.starting(sim.time, jnp.asarray(sim.rbd_state()))
-    control_dt = 1.0 / args.control_frequency
-    substeps = max(1, int(round(control_dt / sim.timestep)))
-    steps = int(round(args.duration / control_dt))
-    for k in range(steps):
-        rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
-        cmd = ctrl.update(sim.time, jnp.asarray(rbd))
-        if not ctrl.safe:
-            print(f"safety stop at t={sim.time:.3f}s (tilt limit)")
-            break
-        sim.apply_command(cmd)
-        sim.step(substeps)
+    from .runtime.controller import ControllerConfig
+
+    ctrl = BipedalController(
+        iface,
+        ControllerConfig(mpc_async=args.mpc_async, estimator=args.estimator),
+    )
+    channel = None
+    try:
+        if args.gait != "stance":
+            ctrl.set_gait(iface.task.gait_library[args.gait], start_time=sim.time + 0.3)
+        if args.estimator == "kalman":
+            imu = sim.imu()
+            qj, dqj = sim.joint_states()
+            ctrl.starting_from_sensors(
+                sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
+                base_pos_guess=sim.ground_truth()[0],
+            )
+        else:
+            ctrl.starting(sim.time, jnp.asarray(sim.rbd_state()))
+        if args.interactive:
+            from .runtime.commands import CommandRouter, StdinCommandChannel
+
+            router = CommandRouter(ctrl, iface, observation=lambda: ctrl.last_observation)
+            channel = StdinCommandChannel(router)
+            channel.start()
+        control_dt = 1.0 / args.control_frequency
+        substeps = max(1, int(round(control_dt / sim.timestep)))
+        steps = int(round(args.duration / control_dt))
+        for k in range(steps):
+            if ctrl.async_mpc is not None:
+                # sim-to-solver pacing (the MuJoCo node's CPU-sim sync):
+                # never let simulated time outrun the worker by more than
+                # max_staleness — a real-time plant can't either
+                ctrl.async_mpc.wait_until_fresh(sim.time, args.max_staleness)
+            if args.estimator == "kalman":
+                imu = sim.imu()
+                qj, dqj = sim.joint_states()
+                cmd = ctrl.update_from_sensors(
+                    sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj
+                )
+            else:
+                rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
+                cmd = ctrl.update(sim.time, rbd)
+            if not ctrl.safe:
+                print(f"safety stop at t={sim.time:.3f}s (tilt limit)")
+                break
+            sim.apply_command(cmd)
+            sim.step(substeps)
+    finally:
+        ctrl.stop()
+        if channel is not None:
+            channel.close()
     pos, _, _, _ = sim.ground_truth()
     print(f"sim done at t={sim.time:.2f}s base at ({pos[0]:.3f}, {pos[1]:.3f}, {pos[2]:.3f}) "
           f"safe={ctrl.safe}")
-    print("mpc:", json.dumps(ctrl.mpc.timer.stats()))
-    print("wbc:", json.dumps(ctrl.wbc_timer.stats()))
+    print("report:", json.dumps(ctrl.report()))
     return 0 if ctrl.safe else 2
 
 
@@ -208,6 +244,14 @@ def main(argv=None):
     p.add_argument("--duration", type=float, default=5.0)
     p.add_argument("--control-frequency", type=float, default=500.0)
     p.add_argument("--delay", type=float, default=0.0, help="actuation delay [s]")
+    p.add_argument("--mpc-async", action="store_true",
+                   help="run the MPC on a background worker (50/400 Hz split)")
+    p.add_argument("--max-staleness", type=float, default=0.2,
+                   help="async mode: throttle sim so policies never age past this [s]")
+    p.add_argument("--estimator", default="cheater", choices=["cheater", "kalman"],
+                   help="cheater (ground truth) or the contact Kalman filter")
+    p.add_argument("--interactive", action="store_true",
+                   help="stdin command channel: gait/cmd_vel/goal/stop on the running loop")
     p.set_defaults(fn=cmd_sim)
 
     p = sub.add_parser("gaits", help="list gait library")

@@ -37,7 +37,11 @@ def run_dummy_loop(
     mrt_frequency: float = 400.0,
     mpc_frequency: float = 50.0,
     use_feedback: bool = True,
+    on_step=None,
 ) -> DummyLoopResult:
+    """``on_step(t, x)`` (optional) runs once per MRT tick — the hook the
+    live command channel (runtime/commands.py) uses to re-target a running
+    loop, like the reference's command nodes publish into a running MPC."""
     model, info = iface.model, iface.info
     dt = 1.0 / mrt_frequency
 
@@ -59,6 +63,8 @@ def run_dummy_loop(
     times, states, inputs = [], [], []
     n_steps = int(round(duration * mrt_frequency))
     for _ in range(n_steps):
+        if on_step is not None:
+            on_step(t, x)
         if t - last_plan >= 1.0 / mpc_frequency - 1e-9:
             mpc.advance(t, x)
             last_plan = t
