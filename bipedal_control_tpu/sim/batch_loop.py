@@ -1,0 +1,172 @@
+"""On-device batched closed loop: MPC -> policy -> WBC -> physics, one program.
+
+This is the BASELINE config-5 configuration ("N domain-randomized H1
+scenarios per step"): the whole 50 Hz / 400-500 Hz cascade — SQP replan,
+policy interpolation with Riccati feedback, whole-body QP, hybrid-joint PD,
+compliant-contact rigid-body physics (sim/jax_physics.py) — runs as a single
+jitted, vmapped XLA program.  No host round trips inside the episode; the
+batch axis shards over a device mesh exactly like the batched solver
+(parallel/batch_solver.py).
+
+Deviations from the host loop, by design (documented, not hidden):
+- the replan grid inside jit is uniform (no host-side event snapping;
+  reference/manager.py::build_time_grid is host logic) — gait/swing/target
+  tables are frozen ONCE over the whole episode window on the host and
+  sliced by time on device;
+- there is no safety-stop branching (fallen scenarios keep integrating;
+  the caller filters by final posture).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..interface import RobotInterface
+from ..runtime.mrt import evaluate_policy
+from ..solver.sqp import build_refs, initial_trajectory, sqp_solve
+from ..wbc.weighted_wbc import wbc_update
+from .jax_physics import (
+    JaxSimConfig,
+    JaxSimState,
+    hybrid_pd_torque_explicit,
+    rbd_state_from_sim,
+    sim_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchLoopConfig:
+    duration: float = 1.0
+    replan_dt: float = 0.02  # 50 Hz MPC
+    control_dt: float = 0.002  # 500 Hz WBC/PD tick
+    joint_kp: float = 80.0
+    joint_kd: float = 5.0
+    sim: JaxSimConfig = dataclasses.field(default_factory=JaxSimConfig)
+
+
+class BatchLoopResult(NamedTuple):
+    final_state: JaxSimState  # batched (B, ...)
+    base_z_min: jnp.ndarray  # (B,) min base height over the episode
+    tilt_max: jnp.ndarray  # (B,) max |roll|+|pitch| over the episode
+    defect_last: jnp.ndarray  # (B,) last replan's dynamics defect
+
+
+def make_batched_closed_loop(iface: RobotInterface, cfg: BatchLoopConfig, wbc_cfg=None):
+    """Build the jitted episode function: (x0_batch (B, nx)) -> BatchLoopResult.
+
+    The reference tables are frozen on the host over [0, duration+horizon]
+    at build time (stance/constant-gait episodes use them as-is; periodic
+    gaits tile within the window)."""
+    from ..runtime.controller import wbc_config_from_task
+
+    model, info, settings = iface.model, iface.info, iface.settings
+    Q, R = iface.Q, iface.R
+    wbc_cfg = wbc_cfg or wbc_config_from_task(iface.task)
+
+    rm = iface.make_reference_manager()
+    # widen the frozen window to the whole episode + horizon
+    rm.max_phases = max(rm.max_phases, int(4 * (cfg.duration + 2 * rm.horizon)) + 24)
+    frozen = rm.freeze(0.0)
+    # re-freeze over a window long enough for every replan in the episode
+    rm.horizon = cfg.duration + iface.settings.horizon
+    frozen = rm.freeze(0.0)
+    gait_t, swing_t, target_t = frozen.gait, frozen.swing, frozen.target
+
+    n_ticks = int(round(cfg.replan_dt / cfg.control_dt))
+    n_sub = max(1, int(round(cfg.control_dt / cfg.sim.dt)))
+    n_replans = int(round(cfg.duration / cfg.replan_dt))
+    N1 = settings.num_intervals + 1
+    horizon = settings.horizon
+
+    def episode(x0):
+        from .jax_physics import initial_sim_state
+
+        sim = initial_sim_state(model, info, x0)
+
+        def obs(sim_state):
+            from ..model.centroidal import centroidal_state_from_rbd
+
+            return centroidal_state_from_rbd(model, info, rbd_state_from_sim(model, sim_state))
+
+        # first solve (cold start) at t=0
+        t_nodes0 = jnp.linspace(0.0, horizon, N1)
+        refs0 = build_refs(info, gait_t, swing_t, target_t, t_nodes0)
+        x_obs0 = obs(sim)
+        xs0, us0 = initial_trajectory(info, refs0, x_obs0, N1)
+        sol0 = sqp_solve(model, info, settings, Q, R, refs0, t_nodes0, x_obs0, xs0, us0)
+
+        def replan_body(carry, k):
+            sim_state, xs, us = carry
+            t0 = k * cfg.replan_dt
+            t_nodes = t0 + jnp.linspace(0.0, horizon, N1)
+            refs = build_refs(info, gait_t, swing_t, target_t, t_nodes)
+            x_obs = obs(sim_state)
+            sol = sqp_solve(model, info, settings, Q, R, refs, t_nodes, x_obs, xs, us)
+
+            def tick_body(carry2, j):
+                sim_s = carry2
+                t = t0 + j * cfg.control_dt
+                rbd = rbd_state_from_sim(model, sim_s)
+                x_obs_t = obs(sim_s)
+                pol = evaluate_policy(sol, t, x_obs_t, use_feedback=True)
+                flags = gait_t.contact_flags_at(t)
+                res = wbc_update(model, info, wbc_cfg, pol.x_star, pol.u_fb, rbd, flags)
+                nj = info.nj
+                tau_ff = res.decision[-nj:]
+                pos_des = pol.x_star[12 : 12 + nj]
+                vel_des = pol.u_fb[12:]
+
+                def sub_body(s, _):
+                    tau = hybrid_pd_torque_explicit(
+                        pos_des, vel_des, cfg.joint_kp, cfg.joint_kd, tau_ff, s.q[6:]
+                    )
+                    s2, _ = sim_step(
+                        model, info, cfg.sim, s, tau, joint_damping=cfg.joint_kd
+                    )
+                    return s2, None
+
+                sim_s, _ = jax.lax.scan(sub_body, sim_s, None, length=n_sub)
+                metrics = jnp.array(
+                    [sim_s.q[2], jnp.abs(sim_s.q[4]) + jnp.abs(sim_s.q[5])]
+                )
+                return sim_s, metrics
+
+            sim_state, metrics = jax.lax.scan(
+                tick_body, sim_state, jnp.arange(n_ticks)
+            )
+            return (sim_state, sol.x_traj, sol.u_traj), (
+                metrics[:, 0].min(),
+                metrics[:, 1].max(),
+                sol.defect_norm,
+            )
+
+        (sim, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
+            replan_body, (sim, sol0.x_traj, sol0.u_traj), jnp.arange(n_replans)
+        )
+        return sim, zmins.min(), tiltmaxs.max(), defects[-1]
+
+    def run(x0_batch):
+        sims, zmin, tilt, defect = jax.vmap(episode)(x0_batch)
+        return BatchLoopResult(
+            final_state=sims, base_z_min=zmin, tilt_max=tilt, defect_last=defect
+        )
+
+    return jax.jit(run)
+
+
+def randomized_initial_states(iface: RobotInterface, batch: int, seed: int = 0):
+    """Domain-randomized initial conditions around the task initial state:
+    base position/orientation jitter + joint perturbations (the scenario
+    axis of BASELINE config 5)."""
+    rng = np.random.default_rng(seed)
+    x0 = np.asarray(iface.initial_state)
+    X = np.tile(x0, (batch, 1))
+    X[:, 6:8] += rng.uniform(-0.05, 0.05, (batch, 2))  # base xy
+    X[:, 8] += rng.uniform(-0.01, 0.02, batch)  # base z
+    X[:, 9:12] += rng.uniform(-0.05, 0.05, (batch, 3))  # yaw/pitch/roll
+    X[:, 12:] += rng.uniform(-0.05, 0.05, (batch, x0.shape[0] - 12))  # joints
+    return jnp.asarray(X)
