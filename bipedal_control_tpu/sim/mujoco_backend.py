@@ -29,25 +29,107 @@ class MujocoSimConfig:
     command_delay_s: float = 0.0  # 0.009 replicates the Gazebo delay buffer
 
 
+def _load_mj_model(mujoco, mjcf_path: str):
+    """Load an MJCF scene; fall back to a virtual-asset load when relative
+    meshdir resolution fails (MuJoCo does not apply an included file's
+    meshdir to the including scene — bites the reference's OpenLoong
+    scene.xml, whose AzureLoong.xml declares meshdir="../meshes/")."""
+    import os
+
+    try:
+        return mujoco.MjModel.from_xml_path(mjcf_path)
+    except ValueError:
+        base = os.path.dirname(os.path.abspath(mjcf_path))
+        assets: dict[str, bytes] = {}
+        for d, prefix in [
+            (base, ""),
+            (os.path.join(base, "asset"), "asset/"),
+            (os.path.join(base, "..", "meshes"), "../meshes/"),
+            (os.path.join(base, "meshes"), "meshes/"),
+        ]:
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                # register under the exact key the XML resolves to (meshdir
+                # prefix + name); MuJoCo flags stripped-basename collisions,
+                # so one key per file
+                if os.path.isfile(p):
+                    with open(p, "rb") as fh:
+                        assets[prefix + f] = fh.read()
+        # the reference ships broken asset sets (OpenLoong references
+        # base_link.STL which exists nowhere in the tree) — substitute a
+        # placeholder box mesh for missing references so the scene loads
+        # (bodies carry explicit <inertial> elements, so collision/visual
+        # placeholder geometry does not change the dynamics parameters)
+        import re
+
+        with open(mjcf_path) as fh:
+            xml = fh.read()
+        referenced = set(re.findall(r'file="([^"]+)"', xml))
+        for a in list(assets):
+            if a.endswith(".xml"):
+                referenced |= {
+                    m.decode() for m in re.findall(rb'file="([^"]+)"', assets[a])
+                }
+        have = {k.split("/")[-1].lower() for k in assets}
+        for ref in referenced:
+            base_name = ref.split("/")[-1]
+            if base_name.lower() not in have and base_name.lower().endswith(".stl"):
+                assets[ref] = _placeholder_box_stl()
+        return mujoco.MjModel.from_xml_string(xml, assets)
+
+
+def _placeholder_box_stl(half: float = 0.12) -> bytes:
+    """Binary STL of an axis-aligned box (stand-in for missing meshes)."""
+    import struct
+
+    h = half
+    corners = [
+        (sx * h, sy * h, sz * h)
+        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+    ]
+    # 12 triangles over the 6 faces (indices into corners)
+    faces = [
+        (0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),  # x faces
+        (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),  # y faces
+        (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3),  # z faces
+    ]
+    out = bytearray(b"\x00" * 80)
+    out += struct.pack("<I", len(faces))
+    for f in faces:
+        out += struct.pack("<3f", 0.0, 0.0, 0.0)  # normal (recomputed by mj)
+        for idx in f:
+            out += struct.pack("<3f", *corners[idx])
+        out += struct.pack("<H", 0)
+    return bytes(out)
+
+
 class MujocoSimBackend:
     def __init__(self, mjcf_path: str, joint_names: list[str], cfg: MujocoSimConfig | None = None):
         import mujoco
 
         self._mj = mujoco
-        self.model = mujoco.MjModel.from_xml_path(mjcf_path)
+        self.model = _load_mj_model(mujoco, mjcf_path)
         self.data = mujoco.MjData(self.model)
         self.cfg = cfg or MujocoSimConfig()
         self.joint_names = joint_names
         # actuator/joint address maps for our joint ordering
         self._act_ids, self._qadr, self._dadr = [], [], []
+        # actuators resolve through their transmission joint, not by name
+        # (H1 names actuators after joints; OpenLoong uses M_* names)
+        act_by_joint = {
+            int(self.model.actuator_trnid[a, 0]): a for a in range(self.model.nu)
+        }
         for name in joint_names:
             jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, name)
             if jid < 0:
                 raise ValueError(f"joint {name} not in model")
             self._qadr.append(self.model.jnt_qposadr[jid])
             self._dadr.append(self.model.jnt_dofadr[jid])
-            aid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_ACTUATOR, name)
-            self._act_ids.append(aid)
+            if jid not in act_by_joint:
+                raise ValueError(f"no actuator drives joint {name}")
+            self._act_ids.append(act_by_joint[jid])
         self._qadr = np.asarray(self._qadr)
         self._dadr = np.asarray(self._dadr)
         # extra actuators (upper body etc.) not driven by the main controller
@@ -149,14 +231,24 @@ class MujocoSimBackend:
             rbd_state_from_ground_truth(pos, quat, v, w, qj, dqj, last_yaw=last_yaw)
         )
 
+    # the reference's two MJCF sensor naming schemes:
+    # H1 (h1.xml:290-292) and OpenLoong (AzureLoong.xml:416-419)
+    _IMU_ALIASES = {
+        "imu_quat": ("imu_quat", "baselink-quat"),
+        "imu_gyro": ("imu_gyro", "baselink-gyro"),
+        "imu_acc": ("imu_acc", "baselink-baseAcc"),
+    }
+
     def imu(self):
         """(quat_wxyz, gyro_local, accel_local) from the MJCF IMU sensors when
         present, else synthesized from ground truth."""
         m, d = self.model, self.data
         out = {}
-        for name in ("imu_quat", "imu_gyro", "imu_acc"):
-            sid = self._mj.mj_name2id(m, self._mj.mjtObj.mjOBJ_SENSOR, name)
-            if sid >= 0:
-                adr, dim = m.sensor_adr[sid], m.sensor_dim[sid]
-                out[name] = d.sensordata[adr : adr + dim].copy()
+        for key, names in self._IMU_ALIASES.items():
+            for name in names:
+                sid = self._mj.mj_name2id(m, self._mj.mjtObj.mjOBJ_SENSOR, name)
+                if sid >= 0:
+                    adr, dim = m.sensor_adr[sid], m.sensor_dim[sid]
+                    out[key] = d.sensordata[adr : adr + dim].copy()
+                    break
         return out
