@@ -50,6 +50,19 @@ class OcpSettings:
     barrier_mu: float = 0.1  # relaxed barrier mu
     barrier_delta: float = 5.0  # relaxed barrier delta
     cone_regularization: float = 1e-3  # FrictionConeConstraint::Config::regularization
+    # Friction-cone handling: "soft" is the reference's default relaxed
+    # log-barrier (BipedalRobotInterface.cpp:181-186); "hard" runs an
+    # interior-point continuation across the SQP iterations — mu and the
+    # relaxed-barrier switch point delta shrink geometrically each iteration
+    # toward (cone_mu_final, cone_delta_final), so the final iterations
+    # solve against an (almost) true log barrier and the returned forces
+    # satisfy the cone to ~cone_delta_final (the hard-inequality path the
+    # reference configures via task.info's ipm block and
+    # useAnalyticalGradientsConstraints, FrictionConeConstraint.cpp:59-206).
+    cone: str = "soft"
+    cone_mu_decay: float = 0.25
+    cone_mu_final: float = 1e-3
+    cone_delta_final: float = 1e-2
     gripper_force: float = 0.0
     position_error_gain: float = 0.0  # model_settings.positionErrorGain
     integrator: str = "rk2"  # euler | rk2 | rk4

@@ -146,11 +146,28 @@ def sqp_solve(
     # the initial state is a hard parameter: pin node 0
     xs = xs.at[0].set(x_init)
 
-    lin_fn = jax.vmap(
-        lambda x, u, xn, ref: linearize_node_structured(
-            model, info, settings, Q, R, x, u, xn, ref
+    def _iter_settings(it: int):
+        """cone="hard": interior-point continuation — shrink the barrier's mu
+        and relaxed switch point delta geometrically per (statically
+        unrolled) SQP iteration, so late iterations solve an almost-true log
+        barrier and the result respects the cone to ~cone_delta_final."""
+        if settings.cone != "hard":
+            return settings
+        import dataclasses as _dc
+
+        decay = settings.cone_mu_decay**it
+        return _dc.replace(
+            settings,
+            barrier_mu=max(settings.barrier_mu * decay, settings.cone_mu_final),
+            barrier_delta=max(settings.barrier_delta * decay, settings.cone_delta_final),
         )
-    )
+
+    def _lin_fn(settings_it):
+        return jax.vmap(
+            lambda x, u, xn, ref: linearize_node_structured(
+                model, info, settings_it, Q, R, x, u, xn, ref
+            )
+        )
 
     step_size = jnp.asarray(1.0)
     masks = eq_mask_from_flags(refs.contact_flags)
@@ -169,8 +186,9 @@ def sqp_solve(
     else:
         lqr = solve_lqr
     gains = None
-    for _ in range(settings.sqp_iterations):
-        nodes = lin_fn(xs[:-1], us, xs[1:], refs)
+    for _it in range(settings.sqp_iterations):
+        settings_it = _iter_settings(_it)
+        nodes = _lin_fn(settings_it)(xs[:-1], us, xs[1:], refs)
         sol = lqr(nodes, masks, dx0=jnp.zeros_like(x_init))
         gains = sol.K
 
@@ -179,7 +197,7 @@ def sqp_solve(
         if settings.merit == "pallas":
             from ..ops.pallas_merit import make_merit_sums
 
-            merit_fn = make_merit_sums(model, info, settings)
+            merit_fn = make_merit_sums(model, info, settings_it)
             n_a = len(settings.linesearch_alphas)
             xs_c = xs[None] + alphas[:, None, None] * sol.dx[None]  # (A, N+1, nx)
             us_c = us[None] + alphas[:, None, None] * sol.du[None]
@@ -196,13 +214,13 @@ def sqp_solve(
             d1_a = jnp.sum(sums[..., 0], axis=1)
             viols_a = jnp.sum(sums[..., 1] + sums[..., 3], axis=1)
             e1_a = jnp.sum(sums[..., 2], axis=1)
-            costs_a = _candidate_costs(info, settings, Q, R, xs_c[:, :-1], us_c, refs)
+            costs_a = _candidate_costs(info, settings_it, Q, R, xs_c[:, :-1], us_c, refs)
         else:
 
             def try_alpha(a):
                 xs_a = xs + a * sol.dx
                 us_a = us + a * sol.du
-                return _performance(model, info, settings, Q, R, xs_a, us_a, refs)
+                return _performance(model, info, settings_it, Q, R, xs_a, us_a, refs)
 
             costs_a, viols_a, d1_a, e1_a = jax.vmap(try_alpha)(alphas)
         # alpha = 0 baseline from the node data the linearization already holds
