@@ -72,9 +72,23 @@ def make_interface(
     overrides_file: str | None = None,
 ) -> RobotInterface:
     task = load_task_config(task_file, reference_file, gait_file, overrides_file)
-    # Upper-body joints are welded at zero like the reference's reduced
-    # pinocchio model (createPinocchioInterface with jointNames).
-    desc = load_urdf(urdf_path, task.joint_names, extra_frames=task.extra_frames or None)
+    # Upper-body joints are welded at the *held* pose (defaultUpperJointState,
+    # what UpperJointController actually commands) rather than at zero.  The
+    # reference's reduced pinocchio model welds at zero
+    # (createPinocchioInterface with jointNames), which misplaces the torso
+    # CoM by the held-arm offset — significant for OpenLoong's +-1.6 rad arm
+    # pose, mild for H1's bent elbows.
+    locked = {}
+    if task.upper_joint_names and task.default_upper_joint_state is not None:
+        locked = dict(
+            zip(task.upper_joint_names, (float(v) for v in task.default_upper_joint_state))
+        )
+    desc = load_urdf(
+        urdf_path,
+        task.joint_names,
+        locked_joint_positions=locked or None,
+        extra_frames=task.extra_frames or None,
+    )
     model = from_description(desc)
     # nominal joints for SRBD = initial-state joints, like the reference's
     # createCentroidalModelInfo(..., initialState) (BipedalRobotInterface.cpp:120-123)

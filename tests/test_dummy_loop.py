@@ -83,11 +83,13 @@ def test_h1_trot_golden_regression(h1_iface):
     mpc = MpcRunner(iface)
     mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
     res = run_dummy_loop(iface, mpc, jnp.asarray(iface.initial_state), duration=0.5)
+    # regenerated 2026-08-20: upper-body joints now weld at the held pose
+    # (defaultUpperJointState) instead of zero — see make_interface
     golden = np.array(
         [
-            -0.1814699440, -0.4606256993, -0.1144472150, 0.0059923700,
-            -0.0049289882, 0.0010427066, -0.0534908579, -0.1063080149,
-            0.9276937102, -0.0038740723, -0.0118216004, 0.0280754268,
+            -0.1893045430, -0.4585390541, -0.1156634608, 0.0056122609,
+            -0.0048277125, 0.0013638529, -0.0555271107, -0.1057885653,
+            0.9270552855, -0.0027163760, -0.0135885974, 0.0275897749,
         ]
     )
     np.testing.assert_allclose(res.states[-1, :12], golden, atol=2e-3)
