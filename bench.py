@@ -101,6 +101,24 @@ def main():
     elapsed = time.perf_counter() - t0
     solves_per_s = BATCH * STEPS / elapsed / max(n_chips, 1)
 
+    if os.environ.get("BENCH_THROUGHPUT_ONLY"):
+        # big-batch sweeps skip the single-solve latency sections (their
+        # compiles dominate wall time and don't depend on batch size)
+        print(
+            json.dumps(
+                {
+                    "metric": "mpc_solves_per_s_per_chip",
+                    "value": round(solves_per_s, 2),
+                    "unit": "solves/s",
+                    "vs_baseline": round(solves_per_s / 1250.0, 4),
+                    "batch": BATCH,
+                    "chips": n_chips,
+                    "defect_l1": float(jnp.sum(sol.defect_norm[0])),
+                }
+            )
+        )
+        return
+
     # ---- single-solve latency (host-observed: includes the dispatch round
     # trip, which on the axon tunnel is ~20 ms by itself — see rtt_floor_ms)
     single = jax.jit(
