@@ -231,6 +231,35 @@ class MujocoSimBackend:
             rbd_state_from_ground_truth(pos, quat, v, w, qj, dqj, last_yaw=last_yaw)
         )
 
+    def contact_flags_by_side(self, left_body: str, right_body: str) -> np.ndarray:
+        """(4,) measured contact flags in the framework's contact order
+        [left_toe, left_heel, right_toe, right_heel]: each side's pair reads
+        1.0 when any active MuJoCo contact touches a geom on that side's
+        foot body (or its subtree).
+
+        The reference plumbs a ContactSensorInterface but never wires it
+        (BipedalHW.cpp contact interface TODO-disabled; the controller
+        hardcodes STANCE flags, BipedalController.cpp:372-377).  This is the
+        working readout — feed it to
+        BipedalController.update_from_sensors(contact_flags_meas=...)."""
+        m, d = self.model, self.data
+        sides = np.zeros(2)
+        ids = [
+            self._mj.mj_name2id(m, self._mj.mjtObj.mjOBJ_BODY, n)
+            for n in (left_body, right_body)
+        ]
+        for i in range(d.ncon):
+            con = d.contact[i]
+            for g in (con.geom1, con.geom2):
+                b = int(m.geom_bodyid[g])
+                # ascend the tree from the geom's body to a named foot body
+                while b > 0:
+                    if b in ids:
+                        sides[ids.index(b)] = 1.0
+                        break
+                    b = int(m.body_parentid[b])
+        return np.array([sides[0], sides[0], sides[1], sides[1]])
+
     # the reference's two MJCF sensor naming schemes:
     # H1 (h1.xml:290-292) and OpenLoong (AzureLoong.xml:416-419)
     _IMU_ALIASES = {

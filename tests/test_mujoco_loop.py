@@ -73,9 +73,11 @@ def test_mujoco_stance_balance(h1_sim_setup):
     assert pos[2] > 0.85, pos
 
 
-def _run_kalman(iface, sim, ctrl, duration, gait=None, gait_at=1.0):
+def _run_kalman(iface, sim, ctrl, duration, gait=None, gait_at=1.0, measured_contacts=False):
     """Closed loop driven from IMU + joint sensors through the contact LKF
-    (no ground truth on the control path)."""
+    (no ground truth on the control path).  measured_contacts=True feeds the
+    MuJoCo contact readout instead of the planned gait flags (the
+    ContactSensorInterface path the reference never wired)."""
     control_dt = 1.0 / 500.0
     substeps = max(1, int(round(control_dt / sim.timestep)))
     gait_set = False
@@ -86,8 +88,14 @@ def _run_kalman(iface, sim, ctrl, duration, gait=None, gait_at=1.0):
             gait_set = True
         imu = sim.imu()
         qj, dqj = sim.joint_states()
+        flags_meas = (
+            sim.contact_flags_by_side("left_ankle_link", "right_ankle_link")
+            if measured_contacts
+            else None
+        )
         cmd = ctrl.update_from_sensors(
-            sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj
+            sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
+            contact_flags_meas=flags_meas,
         )
         assert np.all(np.isfinite(cmd.tau_ff))
         est_errs.append(
@@ -117,7 +125,7 @@ def test_mujoco_stance_kalman(h1_sim_setup):
         sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
         base_pos_guess=sim.ground_truth()[0],
     )
-    pos, est_errs = _run_kalman(iface, sim, ctrl, 1.5)
+    pos, est_errs = _run_kalman(iface, sim, ctrl, 1.5, measured_contacts=True)
     assert ctrl.safe, f"safety stop, base at {pos}"
     assert pos[2] > 0.85, pos
     # estimate stays honest: bounded error throughout, small at the end
