@@ -75,6 +75,7 @@ REGISTRY: dict[str, RobotAssets] = {
         reference_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/g1_reference.info"),
         gait_info=os.path.join(os.path.dirname(__file__), "../../configs/g1/g1_gaits.info"),
         mjcf=_example("unitree_g1/g1_description/scene.xml"),
+        overrides_info=_local_config("g1/overrides.info"),
     ),
 }
 

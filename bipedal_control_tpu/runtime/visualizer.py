@@ -42,6 +42,11 @@ class MarkerFrame:
     contact_flags: np.ndarray  # (nc,)
     cop: np.ndarray  # (3,) nan when airborne
     desired_base: np.ndarray | None = None  # (6,)
+    # full TF tree (record_tf=True): world placement of every body frame,
+    # the robot_state_publisher/TF analogue of the reference visualizer
+    body_names: list | None = None
+    body_positions: np.ndarray | None = None  # (nb, 3)
+    body_orientations_zyx: np.ndarray | None = None  # (nb, 3)
 
 
 def center_of_pressure(foot_positions, forces):
@@ -56,11 +61,18 @@ def center_of_pressure(foot_positions, forces):
 class Visualizer:
     """Throttled marker recorder + offline renderer."""
 
-    def __init__(self, model: RobotModel, info: CentroidalModelInfo, max_update_frequency: float = 100.0):
+    def __init__(
+        self,
+        model: RobotModel,
+        info: CentroidalModelInfo,
+        max_update_frequency: float = 100.0,
+        record_tf: bool = False,
+    ):
         self.model = model
         self.info = info
         self.min_dt = 1.0 / max_update_frequency
         self._last_t = -np.inf
+        self.record_tf = record_tf
         self.frames: list[MarkerFrame] = []
 
     def update(self, t, x, u, contact_flags=None, desired_state=None):
@@ -79,6 +91,15 @@ class Visualizer:
             if contact_flags is not None
             else (forces[:, 2] > 1.0).astype(float)
         )
+        tf_names = tf_pos = tf_zyx = None
+        if self.record_tf:
+            from ..model.kinematics import forward_kinematics
+            from ..utils.rotations import zyx_from_rotmat
+
+            kin = forward_kinematics(self.model, q)
+            tf_names = ["base"] + [f"{j}_child" for j in self.model.joint_names]
+            tf_pos = np.asarray(kin.p)
+            tf_zyx = np.stack([np.asarray(zyx_from_rotmat(R)) for R in kin.R])
         self.frames.append(
             MarkerFrame(
                 t=t,
@@ -88,6 +109,9 @@ class Visualizer:
                 contact_flags=flags,
                 cop=center_of_pressure(feet, forces),
                 desired_base=None if desired_state is None else np.asarray(desired_state)[6:12].copy(),
+                body_names=tf_names,
+                body_positions=tf_pos,
+                body_orientations_zyx=tf_zyx,
             )
         )
 

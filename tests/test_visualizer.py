@@ -54,3 +54,28 @@ def test_visualizer_records_and_renders(h1_model, h1_info, tmp_path):
     f0 = data["frames"][0]
     assert len(f0["foot_positions"]) == 4
     assert np.isfinite(f0["cop"]).all()
+
+
+def test_visualizer_full_tf(h1_model, h1_info, tmp_path):
+    """record_tf=True captures the world placement of every body frame —
+    the full joint-TF rendering of the reference visualizer (#16)."""
+    import json
+
+    viz = Visualizer(h1_model, h1_info, max_update_frequency=50.0, record_tf=True)
+    x = np.zeros(h1_info.state_dim)
+    x[8] = 0.98
+    u = np.zeros(h1_info.input_dim)
+    viz.update(0.0, x, u)
+    f = viz.frames[0]
+    nb = h1_model.nj + 1
+    assert len(f.body_names) == nb
+    assert f.body_positions.shape == (nb, 3)
+    assert f.body_orientations_zyx.shape == (nb, 3)
+    # base body placement matches the state
+    np.testing.assert_allclose(f.body_positions[0], x[6:9], atol=1e-12)
+    # feet bodies reach near the ground with straight legs
+    assert f.body_positions[:, 2].min() < 0.2
+    js = tmp_path / "tf.json"
+    viz.export_json(str(js))
+    data = json.loads(js.read_text())
+    assert len(data["frames"][0]["body_positions"]) == nb
