@@ -56,6 +56,7 @@ REGISTRY: dict[str, RobotAssets] = {
         task_info=_example("hunter/legged_hunter_config/config/task/task.info"),
         reference_info=_example("hunter/legged_hunter_config/config/command/reference.info"),
         gait_info=_example("hunter/legged_hunter_config/config/command/gait.info"),
+        overrides_info=_local_config("hunter/overrides.info"),
     ),
     "openloong": RobotAssets(
         name="openloong",

@@ -1,0 +1,110 @@
+"""Generate a MuJoCo scene from a URDF at runtime (Hunter has no MJCF).
+
+The reference ships MJCF scenes for H1/OpenLoong/G1 but only a URDF for
+Hunter (legged_hunter_description/), so its physics bringup needs a scene.
+Rather than hand-author (and commit a derivative of) the reference asset,
+this builds one on the fly: MuJoCo's URDF importer compiles the kinematics
+and primitive collision geometry (Hunter's collisions are boxes/cylinders +
+the toe/heel contact spheres; visual meshes are discarded), then the saved
+MJCF is post-processed into a runnable scene:
+
+- a freejoint on the root body (URDF import welds the base to the world);
+- a ground plane + light;
+- torque motors on the requested joints (ctrlrange from URDF effort limits);
+- an IMU site + framequat/gyro/accelerometer sensors on the root body;
+- optional inflation of the (1 mm!) URDF contact spheres to a numerically
+  sane radius.
+
+The output is cached under ~/.cache/bctpu_scenes and never committed.
+"""
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+
+
+def build_mjcf_scene_from_urdf(
+    urdf_path: str,
+    joint_names: list[str],
+    out_path: str | None = None,
+    foot_link_substr: str = "_f",
+    foot_radius: float = 0.0075,
+    timestep: float = 0.001,
+) -> str:
+    """Returns the path of the generated scene XML."""
+    import mujoco
+
+    if out_path is None:
+        cache = os.path.expanduser("~/.cache/bctpu_scenes")
+        os.makedirs(cache, exist_ok=True)
+        out_path = os.path.join(
+            cache, os.path.basename(urdf_path).replace(".urdf", "_scene.xml")
+        )
+
+    with open(urdf_path) as fh:
+        urdf = fh.read()
+    # effort limits per joint (URDF <limit effort=...>)
+    efforts = {}
+    for m in re.finditer(
+        r'<joint name="([^"]+)"[^>]*>(.*?)</joint>', urdf, re.S
+    ):
+        lm = re.search(r'effort="([0-9.eE+-]+)"', m.group(2))
+        if lm:
+            efforts[m.group(1)] = float(lm.group(1))
+    # inject the mujoco compiler extension as the first child of <robot>
+    insert_at = urdf.index(">", urdf.index("<robot")) + 1
+    urdf_mj = (
+        urdf[:insert_at]
+        + '\n<mujoco><compiler discardvisual="true" balanceinertia="true" '
+        'strippath="true" fusestatic="false"/></mujoco>'
+        + urdf[insert_at:]
+    )
+    model = mujoco.MjModel.from_xml_string(urdf_mj)
+    tmp = out_path + ".imported"
+    mujoco.mj_saveLastXML(tmp, model)
+
+    tree = ET.parse(tmp)
+    root = tree.getroot()
+    # options
+    opt = root.find("option")
+    if opt is None:
+        opt = ET.SubElement(root, "option")
+    opt.set("timestep", str(timestep))
+    worldbody = root.find("worldbody")
+    # ground + light
+    ET.SubElement(
+        worldbody, "geom",
+        {"name": "floor", "type": "plane", "size": "0 0 0.05",
+         "friction": "1.0 0.3 0.3"},
+    )
+    ET.SubElement(worldbody, "light", {"pos": "0 0 2", "dir": "0 0 -1"})
+    # free base + IMU site
+    base = worldbody.find("body")
+    assert base is not None, "URDF import produced no root body"
+    ET.SubElement(base, "freejoint", {"name": "float_base"})
+    ET.SubElement(base, "site", {"name": "imu", "size": "0.01", "pos": "0 0 0"})
+    # inflate foot contact spheres
+    for body in root.iter("body"):
+        if foot_link_substr in body.get("name", ""):
+            for geom in body.findall("geom"):
+                if geom.get("type", "sphere") == "sphere":
+                    geom.set("size", str(foot_radius))
+    # actuators
+    actuators = ET.SubElement(root, "actuator")
+    for j in joint_names:
+        eff = efforts.get(j, 100.0)
+        ET.SubElement(
+            actuators, "motor",
+            {"name": j, "joint": j, "ctrllimited": "true",
+             "ctrlrange": f"-{eff} {eff}"},
+        )
+    # IMU sensors (the H1 naming scheme the backend reads)
+    sensors = ET.SubElement(root, "sensor")
+    ET.SubElement(sensors, "framequat", {"name": "imu_quat", "objtype": "site", "objname": "imu"})
+    ET.SubElement(sensors, "gyro", {"name": "imu_gyro", "site": "imu"})
+    ET.SubElement(sensors, "accelerometer", {"name": "imu_acc", "site": "imu"})
+
+    tree.write(out_path)
+    os.remove(tmp)
+    return out_path
