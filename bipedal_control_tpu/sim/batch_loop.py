@@ -55,12 +55,16 @@ class BatchLoopResult(NamedTuple):
     defect_last: jnp.ndarray  # (B,) last replan's dynamics defect
 
 
-def make_batched_closed_loop(iface: RobotInterface, cfg: BatchLoopConfig, wbc_cfg=None):
+def make_batched_closed_loop(
+    iface: RobotInterface, cfg: BatchLoopConfig, wbc_cfg=None, gait: str | None = None,
+    gait_at: float = 0.1,
+):
     """Build the jitted episode function: (x0_batch (B, nx)) -> BatchLoopResult.
 
     The reference tables are frozen on the host over [0, duration+horizon]
     at build time (stance/constant-gait episodes use them as-is; periodic
-    gaits tile within the window)."""
+    gaits — pass ``gait`` to splice one in at ``gait_at`` — tile within the
+    window, so the on-device cascade *steps*)."""
     from ..runtime.controller import wbc_config_from_task
 
     model, info, settings = iface.model, iface.info, iface.settings
@@ -69,9 +73,10 @@ def make_batched_closed_loop(iface: RobotInterface, cfg: BatchLoopConfig, wbc_cf
 
     rm = iface.make_reference_manager()
     # widen the frozen window to the whole episode + horizon
-    rm.max_phases = max(rm.max_phases, int(4 * (cfg.duration + 2 * rm.horizon)) + 24)
-    frozen = rm.freeze(0.0)
-    # re-freeze over a window long enough for every replan in the episode
+    rm.max_phases = max(rm.max_phases, int(8 * (cfg.duration + 2 * rm.horizon)) + 24)
+    if gait is not None:
+        rm.set_gait(iface.task.gait_library[gait], start_time=gait_at)
+    # freeze over a window long enough for every replan in the episode
     rm.horizon = cfg.duration + iface.settings.horizon
     frozen = rm.freeze(0.0)
     gait_t, swing_t, target_t = frozen.gait, frozen.swing, frozen.target

@@ -147,7 +147,9 @@ def test_mujoco_standing_trot_kalman(h1_sim_setup):
         sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
         base_pos_guess=sim.ground_truth()[0],
     )
-    pos, est_errs = _run_kalman(iface, sim, ctrl, 3.0, gait="standing_trot", gait_at=1.0)
+    pos, est_errs = _run_kalman(
+        iface, sim, ctrl, 3.0, gait="standing_trot", gait_at=1.0, measured_contacts=True
+    )
     assert ctrl.safe, f"safety stop, base at {pos}"
     assert pos[2] > 0.85, pos
     assert abs(pos[0]) < 0.3 and abs(pos[1]) < 0.3, pos
