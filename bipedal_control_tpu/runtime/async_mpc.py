@@ -162,6 +162,7 @@ class AsyncMpcRunner:
         self._rm_lock = threading.Lock()
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self._crashed = False
         self._last_snap: PolicySnapshot | None = None
         self._last_solved_t = -np.inf
         self.solve_timer = RepeatedTimer("mpc_async")
@@ -223,6 +224,7 @@ class AsyncMpcRunner:
             try:
                 self._solve_and_publish(t_obs, x_obs)
             except Exception:  # noqa: BLE001 — worker death == controller stop
+                self._crashed = True
                 self._stop.set()
                 raise
 
@@ -255,6 +257,14 @@ class AsyncMpcRunner:
     @property
     def running(self) -> bool:
         return self._thread is not None and self._thread.is_alive() and not self._stop.is_set()
+
+    @property
+    def failed(self) -> bool:
+        """True when the worker died on an exception (as opposed to a
+        deliberate stop()) — the consumer must treat the policy stream as
+        dead, like the reference's MPC-thread-exception shutdown
+        (BipedalController.cpp:344-348)."""
+        return self._crashed
 
     def wait_until_fresh(self, t: float, max_staleness: float, timeout: float = 120.0) -> bool:
         """Block (sim-driver use only) until the newest policy was solved

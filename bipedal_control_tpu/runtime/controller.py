@@ -260,6 +260,13 @@ class BipedalController:
         if self.async_mpc is not None:
             from .async_mpc import contact_flags_at_np, evaluate_policy_np
 
+            # worker died on an exception -> controller stop (the reference
+            # shuts the controller down on an MPC-thread exception)
+            if self.async_mpc.failed:
+                self.safe = False
+                nj = self.iface.info.nj
+                zero = np.zeros(nj)
+                return JointCommand(zero, zero, zero, np.full(nj, self.cfg.joint_kd), zero)
             x_np = np.asarray(x_obs)
             self.async_mpc.set_observation(t, x_np)
             snap = self.async_mpc.poll_policy()

@@ -159,3 +159,59 @@ def test_mujoco_async_closed_loop():
     assert rep["tick_ex_wbc"]["mean_ms"] < 2.5, rep
     # policy staleness stays bounded by the sim-pacing throttle
     assert rep["policy_staleness_s"]["p99"] < 0.25, rep
+
+
+def test_worker_crash_flags_failed():
+    """An exception in the MPC worker marks the runner failed (the
+    reference's MPC-thread-exception -> controller-shutdown semantics);
+    a deliberate stop() does not."""
+    import time
+
+    from bipedal_control_tpu.runtime.async_mpc import AsyncMpcRunner
+
+    class _Info:
+        state_dim, input_dim = 5, 3
+
+    class _Settings:
+        num_intervals = 4
+
+    class _Iface:
+        info, settings = _Info(), _Settings()
+
+    class _RM:
+        max_phases = 6
+
+        def freeze(self, t):
+            raise RuntimeError("boom")
+
+    class _Runner:
+        iface, rm = _Iface(), _RM()
+
+    amr = AsyncMpcRunner(_Runner(), mpc_frequency=50.0)
+    try:
+        amr.start()
+        amr.set_observation(1.0, np.zeros(5))
+        for _ in range(200):
+            if amr.failed:
+                break
+            time.sleep(0.01)
+        assert amr.failed and not amr.running
+    finally:
+        amr.close()
+
+    # deliberate stop is NOT a failure
+    class _RM2(_RM):
+        def freeze(self, t):
+            raise AssertionError("never reached: no observation published")
+
+    class _Runner2(_Runner):
+        rm = _RM2()
+
+    amr2 = AsyncMpcRunner(_Runner2(), mpc_frequency=50.0)
+    try:
+        amr2.start()
+        time.sleep(0.05)
+        amr2.stop()
+        assert not amr2.failed and not amr2.running
+    finally:
+        amr2.close()
