@@ -55,12 +55,23 @@ class RobotInterface:
             states=x0[None, :].copy(),
             inputs=np.zeros((1, self.info.input_dim)),
         )
+        # Size the static phase table for the densest gait in this robot's
+        # library: freeze() tiles over [t0-T, tf+T] (3 horizons), so a gait
+        # with short phases (e.g. G1's standing trot) needs more slots than
+        # the H1-tuned default of 24.  Static per robot, so the jitted solve
+        # never recompiles on a gait switch.
+        min_phase = self.task.mpc.time_horizon  # upper bound
+        for tpl in self.task.gait_library.values():
+            if len(tpl.mode_sequence) > 1 and tpl.duration > 0:
+                min_phase = min(min_phase, tpl.duration / len(tpl.mode_sequence))
+        needed = int(np.ceil(3.0 * self.task.mpc.time_horizon / max(min_phase, 1e-3))) + 8
         return ReferenceManager(
             gait_schedule=gait,
             swing_config=self.task.swing,
             target=target,
             horizon=self.task.mpc.time_horizon,
             num_intervals=self.settings.num_intervals,
+            max_phases=max(24, needed),
         )
 
 
