@@ -161,6 +161,60 @@ def test_mujoco_async_closed_loop():
     assert rep["policy_staleness_s"]["p99"] < 0.25, rep
 
 
+@pytest.mark.skipif(not os.path.exists(MJCF), reason="H1 MJCF scene unavailable")
+def test_mujoco_async_kalman_closed_loop():
+    """The full deployment shape in one loop: background MPC worker AND the
+    contact Kalman filter on raw sensors with measured contact flags — no
+    ground truth anywhere on the control path, no solve on the tick."""
+    pytest.importorskip("mujoco")
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.controller import BipedalController, ControllerConfig
+    from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
+
+    iface = make_interface_for("h1")
+    sim = MujocoSimBackend(MJCF, list(iface.task.joint_names), MujocoSimConfig())
+    x0 = iface.initial_state
+    upper = dict(zip(iface.task.upper_joint_names, iface.task.default_upper_joint_state))
+    sim.reset(
+        base_pos=x0[6:9] + np.array([0.0, 0.0, 0.017]),
+        base_quat_wxyz=np.array([1.0, 0, 0, 0]),
+        joint_pos=x0[12:],
+        upper_joint_targets=upper,
+    )
+    ctrl = BipedalController(iface, ControllerConfig(mpc_async=True, estimator="kalman"))
+    try:
+        imu = sim.imu()
+        qj, dqj = sim.joint_states()
+        ctrl.starting_from_sensors(
+            sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
+            base_pos_guess=sim.ground_truth()[0],
+        )
+        control_dt = 1.0 / 500.0
+        substeps = max(1, int(round(control_dt / sim.timestep)))
+        for _ in range(int(1.5 / control_dt)):
+            ctrl.async_mpc.wait_until_fresh(sim.time, max_staleness=0.15)
+            imu = sim.imu()
+            qj, dqj = sim.joint_states()
+            flags = sim.contact_flags_by_side("left_ankle_link", "right_ankle_link")
+            cmd = ctrl.update_from_sensors(
+                sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj,
+                contact_flags_meas=flags,
+            )
+            assert np.all(np.isfinite(cmd.tau_ff))
+            sim.apply_command(cmd)
+            sim.step(substeps)
+            if not ctrl.safe:
+                break
+        pos = sim.ground_truth()[0]
+        est_err = np.linalg.norm(ctrl.estimator.base_position - pos)
+    finally:
+        ctrl.stop()
+    assert ctrl.safe, f"safety stop, base at {pos}"
+    assert pos[2] > 0.85, pos
+    assert est_err < 0.05, est_err
+    assert ctrl.async_mpc.solve_count >= 3
+
+
 def test_worker_crash_flags_failed():
     """An exception in the MPC worker marks the runner failed (the
     reference's MPC-thread-exception -> controller-shutdown semantics);
