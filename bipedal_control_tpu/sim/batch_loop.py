@@ -57,7 +57,7 @@ class BatchLoopResult(NamedTuple):
 
 def make_batched_closed_loop(
     iface: RobotInterface, cfg: BatchLoopConfig, wbc_cfg=None, gait: str | None = None,
-    gait_at: float = 0.1,
+    gait_at: float = 0.1, cmd_vel=None,
 ):
     """Build the jitted episode function: (x0_batch (B, nx)) -> BatchLoopResult.
 
@@ -76,6 +76,21 @@ def make_batched_closed_loop(
     rm.max_phases = max(rm.max_phases, int(8 * (cfg.duration + 2 * rm.horizon)) + 24)
     if gait is not None:
         rm.set_gait(iface.task.gait_library[gait], start_time=gait_at)
+    if cmd_vel is not None:
+        # velocity command over the whole episode (cmdVelToTargetTrajectories
+        # semantics with the reaching window stretched to the episode)
+        from ..reference.target import cmd_vel_to_target_trajectories
+        import dataclasses as _dc
+
+        ccfg = _dc.replace(
+            iface.command_config, target_reaching_duration=cfg.duration + settings.horizon
+        )
+        rm.set_target(
+            cmd_vel_to_target_trajectories(
+                np.asarray(cmd_vel), 0.0, np.asarray(iface.initial_state),
+                ccfg, info.input_dim,
+            )
+        )
     # freeze over a window long enough for every replan in the episode
     rm.horizon = cfg.duration + iface.settings.horizon
     frozen = rm.freeze(0.0)
