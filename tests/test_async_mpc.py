@@ -269,3 +269,66 @@ def test_worker_crash_flags_failed():
         assert not amr2.failed and not amr2.running
     finally:
         amr2.close()
+
+
+@pytest.mark.skipif(not os.path.exists(MJCF), reason="H1 MJCF scene unavailable")
+def test_rt_loop_drives_controller():
+    """The native SCHED_FIFO RtLoop drives BipedalController.update at a
+    wall-clock rate while the async worker replans in the background — the
+    deployment composition (BipedalHWLoop read->update->write).  The plant
+    here is the MuJoCo sim stepped from the write callback."""
+    pytest.importorskip("mujoco")
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.controller import BipedalController, ControllerConfig
+    from bipedal_control_tpu.runtime.rt_runner import RtControllerRunner
+    from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
+
+    iface = make_interface_for("h1")
+    sim = MujocoSimBackend(MJCF, list(iface.task.joint_names), MujocoSimConfig())
+    x0 = iface.initial_state
+    upper = dict(zip(iface.task.upper_joint_names, iface.task.default_upper_joint_state))
+    sim.reset(
+        base_pos=x0[6:9] + np.array([0.0, 0.0, 0.017]),
+        base_quat_wxyz=np.array([1.0, 0, 0, 0]),
+        joint_pos=x0[12:],
+        upper_joint_targets=upper,
+    )
+    ctrl = BipedalController(iface, ControllerConfig(mpc_async=True))
+    # modest wall rate: this 2-core host can't tick 500 Hz with the
+    # background solver; the composition (not the rate) is under test
+    freq = 50.0
+    substeps = max(1, int(round(1.0 / freq / sim.timestep)))
+
+    def read():
+        return sim.rbd_state(last_yaw=ctrl.last_yaw)
+
+    def write(cmd):
+        sim.apply_command(cmd)
+        sim.step(substeps)
+
+    runner = RtControllerRunner(ctrl, read, write, frequency_hz=freq)
+    try:
+        ctrl.starting(0.0, sim.rbd_state())
+        # compile the WBC program before entering the RT loop (a real
+        # bringup warms all programs in starting(); the first jit compile
+        # would otherwise eat the whole soak window inside one tick)
+        write(ctrl.update(0.0, read()))
+        runner.start()
+        import time
+
+        time.sleep(2.0)
+    finally:
+        runner.stop()
+        ctrl.stop()
+    assert runner.ticks >= freq * 0.5, runner.ticks  # loop actually ran
+    assert ctrl.safe
+    # the plant advanced under the commands the RT loop wrote
+    assert sim.time > 0.5
+    # physical stability is NOT asserted here: at wall-clock pacing this
+    # 2-core host delivers ~1 replan per 1.5 s (policy staleness a real
+    # chip never sees — device solve p99 is 7 ms, LATENCY_r02.json), so the
+    # robot sags; the sim-time-paced tests above carry the stability claim.
+    # This test pins the composition mechanics: ticks fire, commands stay
+    # finite, the safety path works.
+    assert sim.ground_truth()[0][2] > 0.3
+    assert np.all(np.isfinite(sim.ground_truth()[0]))
