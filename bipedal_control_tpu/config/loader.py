@@ -80,7 +80,12 @@ class TaskConfig:
     Q: np.ndarray  # (nx, nx)
     R_task: np.ndarray  # (3nc + 3nc, ...) task-space input weights
     friction_coefficient: float
-    wbc: WbcConfig
+    # hard friction-cone path ("hard" = barrier-continuation interior point;
+    # mapped from the reference's useAnalyticalGradientsConstraints flag,
+    # BipedalRobotInterface.cpp:159-163 — true selects the analytic hard
+    # FrictionConeConstraint used with the IPM solver)
+    cone_mode: str = "soft"
+    wbc: WbcConfig = None
     ddp: DdpConfig = dataclasses.field(default_factory=DdpConfig)
     # reference.info
     com_height: float = 0.9
@@ -222,6 +227,13 @@ def load_task_config(
         R_task=info.get_matrix(t, "R", 6 * nc, 6 * nc),
         friction_coefficient=info.get_scalar(
             t, "frictionConeSoftConstraint.frictionCoefficient", 0.5
+        ),
+        cone_mode=(
+            "hard"
+            if info.get_bool(
+                t, "bipedal_robot_interface.useAnalyticalGradientsConstraints", False
+            )
+            else "soft"
         ),
         wbc=wbc,
         com_height=info.get_scalar(r, "comHeight", 0.9),

@@ -115,6 +115,7 @@ def make_interface(
         horizon=task.mpc.time_horizon,
         sqp_iterations=task.sqp.sqp_iterations,
         friction_coefficient=task.friction_coefficient,
+        cone=task.cone_mode,
         barrier_mu=task.sqp.inequality_constraint_mu,
         barrier_delta=task.sqp.inequality_constraint_delta,
         position_error_gain=task.position_error_gain,
