@@ -215,6 +215,7 @@ def test_mujoco_async_kalman_closed_loop():
     assert ctrl.async_mpc.solve_count >= 3
 
 
+@pytest.mark.filterwarnings("ignore::pytest.PytestUnhandledThreadExceptionWarning")
 def test_worker_crash_flags_failed():
     """An exception in the MPC worker marks the runner failed (the
     reference's MPC-thread-exception -> controller-shutdown semantics);
