@@ -137,6 +137,38 @@ class _PolicyLayout:
         )
 
 
+# sys.setswitchinterval is process-global: refcount the override so two
+# runners in one process (multi-controller tests) restore the true original
+# only when the last one stops, regardless of stop() ordering.
+_SWITCH_LOCK = threading.Lock()
+_SWITCH_COUNT = 0
+_SWITCH_SAVED: float | None = None
+
+
+def _acquire_fast_switch(interval: float = 2e-4) -> None:
+    global _SWITCH_COUNT, _SWITCH_SAVED
+    import sys
+
+    with _SWITCH_LOCK:
+        if _SWITCH_COUNT == 0:
+            _SWITCH_SAVED = sys.getswitchinterval()
+            sys.setswitchinterval(interval)
+        _SWITCH_COUNT += 1
+
+
+def _release_fast_switch() -> None:
+    global _SWITCH_COUNT, _SWITCH_SAVED
+    import sys
+
+    with _SWITCH_LOCK:
+        if _SWITCH_COUNT == 0:
+            return
+        _SWITCH_COUNT -= 1
+        if _SWITCH_COUNT == 0 and _SWITCH_SAVED is not None:
+            sys.setswitchinterval(_SWITCH_SAVED)
+            _SWITCH_SAVED = None
+
+
 class AsyncMpcRunner:
     """Background MPC worker around an :class:`MpcRunner`.
 
@@ -237,10 +269,7 @@ class AsyncMpcRunner:
         # the tick's GIL-wait at well under the 2.5 ms budget (the in-process
         # analogue of the reference's thread-priority split,
         # BipedalController.cpp:332-351 vs BipedalHWLoop SCHED_FIFO).
-        import sys
-
-        self._saved_switch_interval = sys.getswitchinterval()
-        sys.setswitchinterval(2e-4)
+        _acquire_fast_switch()
         self._stop.clear()
         self._thread = threading.Thread(target=self._worker, name="mpc_worker", daemon=True)
         self._thread.start()
@@ -250,9 +279,7 @@ class AsyncMpcRunner:
         if self._thread is not None:
             self._thread.join(timeout=30.0)
             self._thread = None
-            import sys
-
-            sys.setswitchinterval(self._saved_switch_interval)
+            _release_fast_switch()
 
     @property
     def running(self) -> bool:

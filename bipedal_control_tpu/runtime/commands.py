@@ -55,6 +55,10 @@ class CommandRouter:
         try:
             if cmd == "list":
                 return " ".join(sorted(self.iface.task.gait_library))
+            # every other command extrapolates from the current observation;
+            # before the first controller tick there is none yet
+            if self.observation() is None:
+                return "no observation yet (controller not ticking)"
             if cmd == "gait":
                 name = args[0]
                 if name not in self.iface.task.gait_library:
@@ -95,7 +99,9 @@ class CommandRouter:
                 )
                 return "holding current pose"
             return f"unknown command {cmd!r}"
-        except (ValueError, IndexError) as e:
+        except (ValueError, IndexError, TypeError) as e:
+            # TypeError included so a malformed line can never kill the
+            # stdin reader thread (the channel must survive bad input)
             return f"bad arguments for {cmd!r}: {e}"
 
 

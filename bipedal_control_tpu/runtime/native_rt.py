@@ -94,19 +94,30 @@ _CB_TYPE = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p)
 
 
 class RtLoop:
-    """Native periodic loop calling a Python callback (returns True to stop)."""
+    """Native periodic loop calling a Python callback (returns True to stop).
+
+    A callback exception stops the loop and is recorded on ``exception`` so
+    the owner can distinguish a crash from a deliberate stop (and react,
+    e.g. write a damping command) instead of the loop dying silently.
+    """
 
     def __init__(self, frequency_hz: float, callback, priority: int = 0):
         self._lib = load_library()
+        self.exception: BaseException | None = None
 
         def _tramp(_):
             try:
                 return 1 if callback() else 0
-            except Exception:
+            except BaseException as e:  # noqa: BLE001 — crash must stop the loop
+                self.exception = e
                 return 1
 
         self._cb = _CB_TYPE(_tramp)  # keep a reference alive
         self._h = self._lib.rt_loop_start(frequency_hz, priority, self._cb, None)
+
+    @property
+    def failed(self) -> bool:
+        return self.exception is not None
 
     def stop(self) -> None:
         if self._h:

@@ -48,6 +48,15 @@ class RtControllerRunner:
         self.ticks += 1
         return not self.ctrl.safe  # True stops the loop
 
+    def _damping_command(self) -> JointCommand:
+        """Zero-torque pure-damping command (the reference's safe fallback:
+        damp the joints, no position/feedforward drive)."""
+        import numpy as np
+
+        nj = self.ctrl.iface.info.nj
+        zero = np.zeros(nj)
+        return JointCommand(zero, zero, zero, np.full(nj, self.ctrl.cfg.joint_kd), zero)
+
     def start(self) -> None:
         self._t0 = time.monotonic()
         self._loop = RtLoop(self.frequency, self._tick, priority=self.priority)
@@ -55,8 +64,25 @@ class RtControllerRunner:
     def stats(self) -> dict:
         return self._loop.stats() if self._loop is not None else {}
 
+    @property
+    def failed(self) -> bool:
+        """True when the tick path crashed (exception in read/update/write)."""
+        return self._loop is not None and self._loop.failed
+
+    @property
+    def exception(self):
+        return self._loop.exception if self._loop is not None else None
+
     def stop(self) -> None:
         if self._loop is not None:
             self._loop.stop()
+            if self._loop.exception is not None:
+                # the crash left whatever torque was last written on the
+                # actuators — overwrite with a damping command before handing
+                # the plant back (BipedalHWLoop's on-error write path)
+                try:
+                    self._write(self._damping_command())
+                except Exception:  # noqa: BLE001 — best effort on a dead bridge
+                    pass
             self._loop.close()
             self._loop = None

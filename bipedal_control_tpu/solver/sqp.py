@@ -272,9 +272,9 @@ def initial_trajectory(info: CentroidalModelInfo, refs: NodeRefs, x_init, num_no
     return xs, us
 
 
-def warm_start_from_solution(prev: SqpSolution, t_nodes):
-    """Shift the previous solution onto a new time grid (MPC warm start;
-    replaces OCS2's internal trajectory re-initialization, mpc.coldStart=false)."""
+def warm_start_trajectories(prev_t_nodes, prev_xs, prev_us, t_nodes):
+    """Shift (x, u) trajectories from their own node grid onto a new one by
+    linear interpolation (pure jnp — usable inside jitted replan loops)."""
 
     def interp_rows(times, rows, t):
         idx = jnp.clip(jnp.searchsorted(times, t, side="right"), 1, rows.shape[0] - 1)
@@ -282,6 +282,12 @@ def warm_start_from_solution(prev: SqpSolution, t_nodes):
         alpha = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
         return rows[idx - 1] * (1 - alpha) + rows[idx] * alpha
 
-    xs = jax.vmap(lambda t: interp_rows(prev.t_nodes, prev.x_traj, t))(t_nodes)
-    us = jax.vmap(lambda t: interp_rows(prev.t_nodes[:-1], prev.u_traj, t))(t_nodes[:-1])
+    xs = jax.vmap(lambda t: interp_rows(prev_t_nodes, prev_xs, t))(t_nodes)
+    us = jax.vmap(lambda t: interp_rows(prev_t_nodes[:-1], prev_us, t))(t_nodes[:-1])
     return xs, us
+
+
+def warm_start_from_solution(prev: SqpSolution, t_nodes):
+    """Shift the previous solution onto a new time grid (MPC warm start;
+    replaces OCS2's internal trajectory re-initialization, mpc.coldStart=false)."""
+    return warm_start_trajectories(prev.t_nodes, prev.x_traj, prev.u_traj, t_nodes)

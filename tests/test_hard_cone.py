@@ -39,8 +39,13 @@ def _lean_solve(h1, cone: str, mu_friction=0.05, iters=6):
     Q = np.asarray(h1.Q).copy()
     Q[0, 0] = 200.0  # vcom_x tracking dominates
     Q[3:6, 3:6] = 0.0  # free the angular momentum
-    iface = dataclasses.replace(h1, settings=settings, Q=jnp.asarray(Q))
-    iface.task.mpc.time_horizon = 0.3
+    # copy the task before touching it: dataclasses.replace is shallow, and
+    # mutating the module-scoped fixture's task would leak into later tests
+    import copy
+
+    task = copy.deepcopy(h1.task)
+    task.mpc.time_horizon = 0.3
+    iface = dataclasses.replace(h1, settings=settings, Q=jnp.asarray(Q), task=task)
     mpc = MpcRunner(iface)
     x0 = np.asarray(iface.initial_state)
     nx, nu = iface.info.state_dim, iface.info.input_dim
