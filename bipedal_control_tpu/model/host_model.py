@@ -107,6 +107,12 @@ class HostModel:
     q_j_nominal: np.ndarray  # (nj,) SRBD momentum configuration (empty for full)
     joint_K: np.ndarray  # (nj,3,3) precomputed axis skews (revolute axes)
     joint_K2: np.ndarray  # (nj,3,3) K @ K
+    # frame data (host WBC needs contact + base frames)
+    frame_body: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.int64))
+    frame_R: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0, 3, 3)))
+    frame_p: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0, 3)))
+    contact_frame_ids: tuple = ()
+    base_frame_id: int = 0
 
 
 def make_host_model(model, info) -> HostModel:
@@ -135,6 +141,11 @@ def make_host_model(model, info) -> HostModel:
         q_j_nominal=np.asarray(info.q_j_nominal, dtype=np.float64),
         joint_K=K,
         joint_K2=np.matmul(K, K),
+        frame_body=np.asarray(model.frame_body, dtype=np.int64),
+        frame_R=a(model.frame_R),
+        frame_p=a(model.frame_p),
+        contact_frame_ids=tuple(int(i) for i in info.contact_frame_ids),
+        base_frame_id=int(model.frame_index(model.frame_names[0])),
     )
 
 

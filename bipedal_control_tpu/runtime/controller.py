@@ -61,6 +61,12 @@ class ControllerConfig:
     # and logged by the config loader) — H1's stability-critical
     # weight.baseAccel 10.0 lives there, not here.
     weight_base_accel: float | None = None
+    # Torque-path backend: "host" closes the WBC QP in numpy + the native
+    # ADMM kernel on the CPU (the reference's architecture — qpOASES on the
+    # host inside the 2.5 ms tick, WeightedWbc.cpp:53-81; zero device
+    # dispatches on the tick path); "device" keeps the jitted WBC (useful
+    # when the controller itself runs device-side or for A/B tests).
+    wbc_backend: str = "host"
 
 
 def wbc_config_from_task(task) -> WbcTaskConfig:
@@ -93,7 +99,10 @@ class BipedalController:
         self.last_wbc_decision = None
         self.safe = True
         self.wbc_timer = RepeatedTimer("wbc")
-        self.tick_timer = RepeatedTimer("tick_ex_wbc")  # tick minus the WBC QP
+        # full tick including the WBC QP (the deployment budget, task.info:178);
+        # tick_ex_timer keeps the QP-excluded view for diagnosis
+        self.tick_timer = RepeatedTimer("tick")
+        self.tick_ex_timer = RepeatedTimer("tick_ex_wbc")
         self.staleness: list[float] = []  # t_tick - t_obs of consumed policy
         self.last_observation: tuple[float, np.ndarray] | None = None  # (t, x_obs)
         self.last_frozen = None
@@ -113,16 +122,34 @@ class BipedalController:
         model, info = iface.model, iface.info
         wbc_cfg = self.wbc_cfg
 
-        @jax.jit
-        def _wbc(x_des, u_des, rbd, flags):
-            return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
+        self.host_wbc = None
+        self._wbc = None
+        if self.cfg.wbc_backend == "host":
+            from ..wbc.host_wbc import HostWbc
 
-        self._wbc = _wbc
-        # observation runs host-side numpy: the tick path must never dispatch
-        # to the accelerator (model/host_model.py docstring)
+            self.host_wbc = HostWbc(model, info, wbc_cfg)
+        elif self.cfg.wbc_backend == "device":
+
+            @jax.jit
+            def _wbc(x_des, u_des, rbd, flags):
+                return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
+
+            self._wbc = _wbc
+        else:
+            raise ValueError(f"unknown wbc_backend {self.cfg.wbc_backend!r}")
+        # observation runs host-side: the tick path must never dispatch to
+        # the accelerator (model/host_model.py docstring).  The C++ kernel
+        # (native/host_model.cc) computes it when available; numpy otherwise.
         from ..model.host_model import make_host_model
 
         self._hm = make_host_model(model, info)
+        self._nm = None
+        if self.host_wbc is not None and self.host_wbc.native_model is not None:
+            self._nm = self.host_wbc.native_model
+        else:
+            from ..model.native_model import make_native_model
+
+            self._nm = make_native_model(self._hm)
 
     # ------------------------------------------------------------------
     def starting(self, t: float, rbd_measured) -> None:
@@ -130,6 +157,8 @@ class BipedalController:
         async mode the initial solve also primes the worker, which then
         replans in the background (cpp:147-157 initial-policy sync loop)."""
         self.last_yaw = float(rbd_measured[0])
+        if self.host_wbc is not None:
+            self.host_wbc.reset()
         x_obs = self._observation(rbd_measured)
         if self.async_mpc is not None:
             self.async_mpc.prime(t, np.asarray(x_obs))
@@ -209,7 +238,8 @@ class BipedalController:
         """Runtime timing/staleness summary (the shutdown printout of
         BipedalController.cpp:44-50, plus the policy-staleness metric)."""
         out = {
-            "tick_ex_wbc": self.tick_timer.stats(),
+            "tick": self.tick_timer.stats(),
+            "tick_ex_wbc": self.tick_ex_timer.stats(),
             "wbc": self.wbc_timer.stats(),
         }
         if self.staleness:
@@ -229,7 +259,10 @@ class BipedalController:
     def _observation(self, rbd_measured):
         from ..model.host_model import centroidal_state_from_rbd_np
 
-        x = centroidal_state_from_rbd_np(self._hm, np.asarray(rbd_measured))
+        if self._nm is not None:
+            x = self._nm.observation(np.asarray(rbd_measured))
+        else:
+            x = centroidal_state_from_rbd_np(self._hm, np.asarray(rbd_measured))
         # yaw continuity (BipedalController.cpp:400-403): shift by 2*pi
         # multiples to land nearest the previous yaw (numpy unwrap_near)
         yaw = x[9]
@@ -289,8 +322,15 @@ class BipedalController:
 
         t_pre_wbc = _time.perf_counter()
         with self.wbc_timer:
-            res = self._wbc(x_star, u_fb, rbd, flags)
-            decision_host = np.asarray(res.decision)  # device sync + host copy
+            if self.host_wbc is not None:
+                # host torque path: numpy kinematics + native ADMM, zero
+                # device dispatches (the reference's qpOASES-on-CPU split)
+                decision_host = self.host_wbc.update(
+                    np.asarray(x_star), np.asarray(u_fb), rbd, np.asarray(flags, dtype=float)
+                ).decision
+            else:
+                res = self._wbc(x_star, u_fb, rbd, flags)
+                decision_host = np.asarray(res.decision)  # device sync + host copy
         t_post_wbc = _time.perf_counter()
         # qpOASES-failure fallback: reuse last solution (WeightedWbc.cpp:77-81).
         # Only genuine failures (non-finite) reject; finite-iteration ADMM
@@ -312,7 +352,7 @@ class BipedalController:
             kd=np.full(nj, self.cfg.joint_kd),
             tau_ff=tau,
         )
-        self.tick_timer.samples.append(
-            (t_pre_wbc - tick_t0) + (_time.perf_counter() - t_post_wbc)
-        )
+        t_end = _time.perf_counter()
+        self.tick_timer.samples.append(t_end - tick_t0)
+        self.tick_ex_timer.samples.append((t_pre_wbc - tick_t0) + (t_end - t_post_wbc))
         return cmd
