@@ -27,7 +27,7 @@ import numpy as np
 
 from ..interface import RobotInterface
 from ..runtime.mrt import evaluate_policy
-from ..solver.sqp import build_refs, initial_trajectory, sqp_solve
+from ..solver.sqp import build_refs, initial_trajectory, sqp_solve, warm_start_trajectories
 from ..wbc.weighted_wbc import wbc_update
 from .jax_physics import (
     JaxSimConfig,
@@ -76,25 +76,53 @@ def make_batched_closed_loop(
     rm.max_phases = max(rm.max_phases, int(8 * (cfg.duration + 2 * rm.horizon)) + 24)
     if gait is not None:
         rm.set_gait(iface.task.gait_library[gait], start_time=gait_at)
-    if cmd_vel is not None:
-        # velocity command over the whole episode (cmdVelToTargetTrajectories
-        # semantics with the reaching window stretched to the episode)
-        from ..reference.target import cmd_vel_to_target_trajectories
-        import dataclasses as _dc
-
-        ccfg = _dc.replace(
-            iface.command_config, target_reaching_duration=cfg.duration + settings.horizon
-        )
-        rm.set_target(
-            cmd_vel_to_target_trajectories(
-                np.asarray(cmd_vel), 0.0, np.asarray(iface.initial_state),
-                ccfg, info.input_dim,
-            )
-        )
     # freeze over a window long enough for every replan in the episode
     rm.horizon = cfg.duration + iface.settings.horizon
     frozen = rm.freeze(0.0)
     gait_t, swing_t, target_t = frozen.gait, frozen.swing, frozen.target
+
+    retarget = None
+    if cmd_vel is not None:
+        # Walking needs the host loop's cadence of re-targeting from the
+        # CURRENT observation (TargetTrajectoriesPublisher.cpp:77-100
+        # re-publishes against the observation topic; the envelope test does
+        # it every 0.2 s).  A target frozen once at t=0 leaves the pose
+        # reference anchored to the start state, so the robot trots in place.
+        # cmdVelToTargetTrajectories is pure arithmetic — run it per replan
+        # inside the scan on the device.
+        from ..reference.target import TargetTable
+        from ..utils.rotations import rotmat_from_zyx
+
+        ccfg = iface.command_config
+        cmd = jnp.asarray(np.asarray(cmd_vel, dtype=np.float64))
+        default_joints = jnp.asarray(np.asarray(ccfg.default_joint_state))
+        nx, nu = info.state_dim, info.input_dim
+        reach = ccfg.target_reaching_duration
+
+        def retarget(t0, x_obs):
+            pose = x_obs[6:12]
+            v_world = rotmat_from_zyx(pose[3:6]) @ cmd[:3]
+            pose_now = jnp.array(
+                [pose[0], pose[1], ccfg.com_height, pose[3], 0.0, 0.0]
+            )
+            pose_target = jnp.array(
+                [
+                    pose[0] + v_world[0] * reach,
+                    pose[1] + v_world[1] * reach,
+                    ccfg.com_height,
+                    pose[3] + cmd[3] * reach,
+                    0.0,
+                    0.0,
+                ]
+            )
+            mk = lambda p: (
+                jnp.zeros(nx).at[0:3].set(v_world).at[6:12].set(p).at[12:].set(default_joints)
+            )
+            return TargetTable(
+                times=jnp.stack([t0, t0 + reach]),
+                states=jnp.stack([mk(pose_now), mk(pose_target)]),
+                inputs=jnp.zeros((2, nu)),
+            )
 
     n_ticks = int(round(cfg.replan_dt / cfg.control_dt))
     n_sub = max(1, int(round(cfg.control_dt / cfg.sim.dt)))
@@ -114,17 +142,23 @@ def make_batched_closed_loop(
 
         # first solve (cold start) at t=0
         t_nodes0 = jnp.linspace(0.0, horizon, N1)
-        refs0 = build_refs(info, gait_t, swing_t, target_t, t_nodes0)
         x_obs0 = obs(sim)
+        tgt0 = retarget(0.0, x_obs0) if retarget is not None else target_t
+        refs0 = build_refs(info, gait_t, swing_t, tgt0, t_nodes0)
         xs0, us0 = initial_trajectory(info, refs0, x_obs0, N1)
         sol0 = sqp_solve(model, info, settings, Q, R, refs0, t_nodes0, x_obs0, xs0, us0)
 
         def replan_body(carry, k):
-            sim_state, xs, us = carry
+            sim_state, t_nodes_prev, xs_prev, us_prev = carry
             t0 = k * cfg.replan_dt
             t_nodes = t0 + jnp.linspace(0.0, horizon, N1)
-            refs = build_refs(info, gait_t, swing_t, target_t, t_nodes)
             x_obs = obs(sim_state)
+            tgt = retarget(t0, x_obs) if retarget is not None else target_t
+            refs = build_refs(info, gait_t, swing_t, tgt, t_nodes)
+            # re-align the previous solution onto the shifted grid (the host
+            # path's warm_start_from_solution; without it every node's warm
+            # start lags by one replan period)
+            xs, us = warm_start_trajectories(t_nodes_prev, xs_prev, us_prev, t_nodes)
             sol = sqp_solve(model, info, settings, Q, R, refs, t_nodes, x_obs, xs, us)
 
             def tick_body(carry2, j):
@@ -158,14 +192,14 @@ def make_batched_closed_loop(
             sim_state, metrics = jax.lax.scan(
                 tick_body, sim_state, jnp.arange(n_ticks)
             )
-            return (sim_state, sol.x_traj, sol.u_traj), (
+            return (sim_state, t_nodes, sol.x_traj, sol.u_traj), (
                 metrics[:, 0].min(),
                 metrics[:, 1].max(),
                 sol.defect_norm,
             )
 
-        (sim, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
-            replan_body, (sim, sol0.x_traj, sol0.u_traj), jnp.arange(n_replans)
+        (sim, _, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
+            replan_body, (sim, t_nodes0, sol0.x_traj, sol0.u_traj), jnp.arange(n_replans)
         )
         return sim, zmins.min(), tiltmaxs.max(), defects[-1]
 

@@ -140,6 +140,35 @@ def test_batched_cascade_standing_trot(h1):
     assert np.isfinite(float(res.defect_last[0]))
 
 
+def test_batched_cascade_walks(h1):
+    """The on-device cascade WALKS: trot gait + a cmd_vel target that is
+    re-computed from the current observation at every replan inside the
+    jitted scan (the host loop's TargetTrajectoriesPublisher.cpp:77-100
+    retarget cadence — a target frozen once at t=0 leaves the robot
+    trotting in place).  H1 covers >= 0.5 m in 3 s at cmd_vel 0.3 m/s
+    after the gait-start transient, entirely on device."""
+    from bipedal_control_tpu.sim.batch_loop import (
+        BatchLoopConfig,
+        make_batched_closed_loop,
+    )
+
+    iface = dataclasses.replace(
+        h1, settings=dataclasses.replace(h1.settings, dt=0.02, sqp_iterations=1)
+    )
+    cfg = BatchLoopConfig(duration=3.0)
+    run = make_batched_closed_loop(
+        iface, cfg, gait="trot", gait_at=0.2, cmd_vel=(0.3, 0.0, 0.0, 0.0)
+    )
+    X = jnp.asarray(np.asarray(iface.initial_state)[None])
+    res = run(X)
+    q = np.asarray(res.final_state.q)
+    assert q[0, 0] > 0.5, q[0, :3]  # advanced (measured ~1.0 m)
+    assert q[0, 2] > 0.85, q[0, :3]  # upright at the end
+    assert float(res.base_z_min[0]) > 0.75, float(res.base_z_min[0])
+    assert float(res.tilt_max[0]) < 0.8, float(res.tilt_max[0])
+    assert np.isfinite(float(res.defect_last[0]))
+
+
 def test_on_device_vs_host_mujoco_stance_parity(h1):
     """Single-scenario behavioral parity with the host MuJoCo loop (the
     VERDICT item-2 'MJX run matches host loop' criterion, adapted: penalty
