@@ -15,6 +15,12 @@ Commands:
     goal <x> <y> <yaw>       goal-pose target
     stop                     stationary target (hold current pose)
     list                     -> known gait names
+    wbc_weight <name> <val>  live WBC task weight (baseAccel/swingLeg/
+                             contactForce — the dynamic_reconfigure knobs,
+                             BipedalController.cpp:407-478)
+    gain <pattern> <kp> <kd> live PD gains on joints matching <pattern>
+                             (substring; mirrors left/right like the
+                             reference's paired motor params)
 """
 from __future__ import annotations
 
@@ -55,6 +61,16 @@ class CommandRouter:
         try:
             if cmd == "list":
                 return " ".join(sorted(self.iface.task.gait_library))
+            if cmd == "wbc_weight":
+                if not hasattr(self.sink, "set_wbc_weight"):
+                    return "sink has no live WBC (bare MpcRunner?)"
+                self.sink.set_wbc_weight(args[0], float(args[1]))
+                return f"wbc weight {args[0]} -> {float(args[1])}"
+            if cmd == "gain":
+                if not hasattr(self.sink, "set_joint_gains"):
+                    return "sink has no joint gains"
+                hits = self.sink.set_joint_gains(args[0], float(args[1]), float(args[2]))
+                return f"gains kp={args[1]} kd={args[2]} on {hits} joints"
             # every other command extrapolates from the current observation;
             # before the first controller tick there is none yet
             if self.observation() is None:

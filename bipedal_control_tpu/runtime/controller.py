@@ -96,6 +96,9 @@ class BipedalController:
             )
         self.last_yaw = 0.0
         self.last_mpc_time = -np.inf
+        # per-joint PD gains, live-tunable via set_joint_gains
+        self.joint_kp = np.full(iface.info.nj, self.cfg.joint_kp)
+        self.joint_kd = np.full(iface.info.nj, self.cfg.joint_kd)
         self.last_wbc_decision = None
         self.safe = True
         self.wbc_timer = RepeatedTimer("wbc")
@@ -220,6 +223,49 @@ class BipedalController:
         )
         return self.update(t, jnp.asarray(rbd), contact_flags_meas=flags)
 
+    # -- runtime reconfigure (dynamic_reconfigure analogue,
+    #    BipedalController.cpp:407-478: WBC weights + per-motor PD gains
+    #    tunable on a RUNNING controller) --------------------------------
+    WBC_WEIGHT_FIELDS = {
+        "baseAccel": "weight_base_accel",
+        "swingLeg": "weight_swing_leg",
+        "contactForce": "weight_contact_force",
+    }
+
+    def set_wbc_weight(self, name: str, value: float) -> None:
+        """Change one WBC task weight live (task.info weight.* names)."""
+        field = self.WBC_WEIGHT_FIELDS.get(name)
+        if field is None:
+            raise ValueError(
+                f"unknown WBC weight {name!r} (try {sorted(self.WBC_WEIGHT_FIELDS)})"
+            )
+        self.wbc_cfg = dataclasses.replace(self.wbc_cfg, **{field: float(value)})
+        if self.host_wbc is not None:
+            # constant rows rebuilt; ADMM warm-start state survives
+            self.host_wbc.replace_config(self.wbc_cfg)
+        else:
+            model, info, wbc_cfg = self.iface.model, self.iface.info, self.wbc_cfg
+
+            @jax.jit
+            def _wbc(x_des, u_des, rbd, flags):
+                return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
+
+            self._wbc = _wbc
+
+    def set_joint_gains(self, pattern: str, kp: float, kd: float) -> int:
+        """Set PD gains on every joint whose name contains ``pattern``
+        (empty pattern = all).  Matching by substring gives the reference's
+        left/right mirroring for free ('hip_pitch' hits both legs).
+        Returns the number of joints changed."""
+        names = list(self.iface.task.joint_names)
+        hits = 0
+        for j, nm in enumerate(names):
+            if pattern in nm:
+                self.joint_kp[j] = float(kp)
+                self.joint_kd[j] = float(kd)
+                hits += 1
+        return hits
+
     def set_gait(self, template, start_time: float) -> None:
         """Gait command entry point, safe in both modes (GaitReceiver)."""
         if self.async_mpc is not None:
@@ -288,7 +334,7 @@ class BipedalController:
         if not self.safe:
             nj = self.iface.info.nj
             zero = np.zeros(nj)
-            return JointCommand(zero, zero, zero, np.full(nj, self.cfg.joint_kd), zero)
+            return JointCommand(zero, zero, zero, self.joint_kd.copy(), zero)
 
         if self.async_mpc is not None:
             from .async_mpc import contact_flags_at_np, evaluate_policy_np
@@ -299,7 +345,7 @@ class BipedalController:
                 self.safe = False
                 nj = self.iface.info.nj
                 zero = np.zeros(nj)
-                return JointCommand(zero, zero, zero, np.full(nj, self.cfg.joint_kd), zero)
+                return JointCommand(zero, zero, zero, self.joint_kd.copy(), zero)
             x_np = np.asarray(x_obs)
             self.async_mpc.set_observation(t, x_np)
             snap = self.async_mpc.poll_policy()
@@ -348,8 +394,8 @@ class BipedalController:
         cmd = JointCommand(
             pos_des=pos_des,
             vel_des=vel_des,
-            kp=np.full(nj, self.cfg.joint_kp),
-            kd=np.full(nj, self.cfg.joint_kd),
+            kp=self.joint_kp.copy(),
+            kd=self.joint_kd.copy(),
             tau_ff=tau,
         )
         t_end = _time.perf_counter()

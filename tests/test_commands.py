@@ -80,3 +80,44 @@ def test_mid_run_retarget_dummy_loop(h1_iface):
     flags = np.asarray(mpc.last_frozen.gait.contact_flags_at(jnp.asarray(res.times[-1])))
     np.testing.assert_array_equal(flags, np.ones(4))
     assert np.all(np.isfinite(res.states))
+
+def test_runtime_reconfigure_live_controller(h1_iface):
+    """dynamic_reconfigure parity (BipedalController.cpp:407-478): change a
+    WBC task weight and per-motor PD gains on a RUNNING controller and
+    observe the behavior change on the very next tick."""
+    from bipedal_control_tpu.runtime.commands import CommandRouter
+    from bipedal_control_tpu.runtime.controller import BipedalController, ControllerConfig
+
+    iface = h1_iface
+    ctrl = BipedalController(iface, ControllerConfig())
+    router = CommandRouter(ctrl, iface, observation=lambda: ctrl.last_observation)
+
+    x0 = np.asarray(iface.initial_state)
+    nj = iface.info.nj
+    rbd = np.concatenate([x0[9:12], x0[6:9], x0[12:], np.zeros(6 + nj)])
+    # make the desired/measured sides disagree so the weight actually binds
+    rbd_off = rbd.copy()
+    rbd_off[3:6] += np.array([0.02, -0.01, 0.015])
+    ctrl.starting(0.0, jnp.asarray(rbd))
+    cmd0 = ctrl.update(0.0, jnp.asarray(rbd_off))
+
+    # ---- live PD gain change, left/right mirrored by substring match
+    ack = router.handle("gain hip_pitch 120 7")
+    assert "2 joints" in ack, ack
+    cmd1 = ctrl.update(0.002, jnp.asarray(rbd_off))
+    names = list(iface.task.joint_names)
+    for j, nm in enumerate(names):
+        if "hip_pitch" in nm:
+            assert cmd1.kp[j] == 120.0 and cmd1.kd[j] == 7.0
+        else:
+            assert cmd1.kp[j] == ctrl.cfg.joint_kp
+
+    # ---- live WBC weight change alters the torque on the same state
+    tau_before = ctrl.update(0.004, jnp.asarray(rbd_off)).tau_ff.copy()
+    ack = router.handle("wbc_weight baseAccel 200")
+    assert "baseAccel" in ack, ack
+    assert ctrl.wbc_cfg.weight_base_accel == 200.0
+    tau_after = ctrl.update(0.006, jnp.asarray(rbd_off)).tau_ff
+    assert np.max(np.abs(tau_after - tau_before)) > 1e-3, (tau_before, tau_after)
+    # bad weight name is survivable
+    assert "bad arguments" in router.handle("wbc_weight nope 1.0") or "unknown" in router.handle("wbc_weight nope 1.0")
