@@ -48,11 +48,26 @@ class KalmanStateEstimator:
     """Contact-LKF estimator: sensors in, rbdState out (host orchestration
     around one jitted filter step)."""
 
-    def __init__(self, model, info, cfg: KalmanConfig | None = None, dt: float = 1.0 / 500.0):
+    def __init__(
+        self,
+        model,
+        info,
+        cfg: KalmanConfig | None = None,
+        dt: float = 1.0 / 500.0,
+        debounce_ticks: int = 0,
+    ):
         self.model, self.info = model, info
         self.cfg = dataclasses.replace(cfg or KalmanConfig(), dt=dt)
         self.state: KalmanState | None = None
         self.last_yaw = 0.0
+        # Contact-flag debounce: hardware contact sensors chatter around
+        # touch-down/lift-off (the reference's Gazebo HW reads raw booleans,
+        # BipedalHWSim.cpp:239-263); a flag change must persist this many
+        # consecutive ticks before the filter sees it.  0 = passthrough
+        # (clean simulator flags).
+        self.debounce_ticks = int(debounce_ticks)
+        self._flag_state: np.ndarray | None = None
+        self._flag_count = np.zeros(4, dtype=int)
         cfg_c = self.cfg
 
         @jax.jit
@@ -89,12 +104,28 @@ class KalmanStateEstimator:
         feet = p0[None, :] + self._feet_rel(euler, jnp.asarray(joint_pos))
         self.state = kalman_init(p0, v0, feet)
 
+    def _debounce(self, flags) -> np.ndarray:
+        """Hysteresis on measured contact flags (see __init__)."""
+        f = np.asarray(flags, dtype=float) > 0.5
+        if self.debounce_ticks <= 0:
+            return f.astype(float)
+        if self._flag_state is None:
+            self._flag_state = f.copy()
+            return f.astype(float)
+        changed = f != self._flag_state
+        self._flag_count = np.where(changed, self._flag_count + 1, 0)
+        accept = self._flag_count >= self.debounce_ticks
+        self._flag_state = np.where(accept, f, self._flag_state)
+        self._flag_count = np.where(accept, 0, self._flag_count)
+        return self._flag_state.astype(float)
+
     def update(
         self, imu_quat_wxyz, gyro_local, accel_local, joint_pos, joint_vel, contact_flags
     ) -> np.ndarray:
         """One filter step; returns rbdState (numpy, with yaw continuity)."""
         if self.state is None:
             raise RuntimeError("KalmanStateEstimator.reset must run before update")
+        contact_flags = self._debounce(contact_flags)
         self.state, euler, omega_world = self._step(
             self.state,
             jnp.asarray(imu_quat_wxyz),

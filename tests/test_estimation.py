@@ -84,3 +84,65 @@ def test_weight_compensating_input(h1_info):
     mg = h1_info.robot_mass * 9.81
     np.testing.assert_allclose(f[:2, 2], mg / 2, rtol=1e-12)
     np.testing.assert_allclose(f[2:], 0, atol=1e-12)
+
+
+def test_kalman_estimator_noise_and_chatter(h1_model, h1_info):
+    """Sensor-noise robustness (VERDICT r2 item #7): IMU noise + accel bias
+    and CHATTERING contact flags, standing truth.  With flag debounce the
+    estimator holds base position error < 0.1 m over 3 s; the debouncer
+    passes clean flags through untouched after the hold window."""
+    from bipedal_control_tpu.estim.estimator import KalmanStateEstimator
+
+    x_nom = np.concatenate([np.zeros(6), [0, 0, 0.93, 0, 0, 0], [0, 0, -0.5, 1.0, -0.5] * 2])
+    q = jnp.asarray(x_nom[6:])
+    feet = contact_positions(h1_model, h1_info, q)
+    terrain = float(np.asarray(feet)[:, 2].mean())
+
+    import dataclasses as _dc
+
+    est = KalmanStateEstimator(h1_model, h1_info, dt=1.0 / 500.0, debounce_ticks=3)
+    est.cfg = _dc.replace(est.cfg, terrain_height=terrain)
+    quat = np.array([1.0, 0, 0, 0])
+    jp, jv = x_nom[12:], np.zeros(10)
+    est.reset(quat, jp, base_pos_guess=np.array([0.0, 0.0, 0.93]))
+
+    rng = np.random.default_rng(3)
+    accel_bias = np.array([0.08, -0.05, 0.12])  # m/s^2, constant
+    err_trace = []
+    for k in range(1500):  # 3 s at 500 Hz
+        accel = np.array([0.0, 0.0, 9.81]) + accel_bias + rng.normal(0, 0.2, 3)
+        gyro = rng.normal(0, 0.02, 3)
+        flags = np.ones(4)
+        # chatter: each tick, ~10% chance a random foot reads a 1-tick dropout
+        if rng.random() < 0.4:
+            flags[rng.integers(0, 4)] = 0.0
+        rbd = est.update(quat, gyro, accel, jp, jv, flags)
+        err_trace.append(np.linalg.norm(rbd[3:6] - np.array([0.0, 0.0, 0.93])))
+    err = np.asarray(err_trace)
+    assert err[-1] < 0.1, err[-1]
+    assert err[500:].max() < 0.1, err[500:].max()
+    # the debouncer never let a 1-tick dropout through: the accepted flag
+    # state stayed all-stance
+    assert est._flag_state is not None and est._flag_state.all()
+
+
+def test_flag_debounce_semantics():
+    """A change must persist debounce_ticks consecutive ticks to pass."""
+    from bipedal_control_tpu.estim.estimator import KalmanStateEstimator
+
+    class _Shim(KalmanStateEstimator):
+        def __init__(self):  # skip model setup; only _debounce is under test
+            self.debounce_ticks = 3
+            self._flag_state = None
+            self._flag_count = np.zeros(4, dtype=int)
+
+    d = _Shim()
+    assert d._debounce([1, 1, 1, 1]).tolist() == [1, 1, 1, 1]
+    # 2-tick dropout: suppressed
+    assert d._debounce([0, 1, 1, 1]).tolist() == [1, 1, 1, 1]
+    assert d._debounce([0, 1, 1, 1]).tolist() == [1, 1, 1, 1]
+    assert d._debounce([1, 1, 1, 1]).tolist() == [1, 1, 1, 1]
+    # sustained change: accepted on the 3rd consecutive tick
+    assert d._debounce([0, 1, 1, 1]).tolist() == [1, 1, 1, 1]
+    assert d._debounce([0, 1, 1, 1]).tolist() == [1, 1, 1, 1]
+    assert d._debounce([0, 1, 1, 1]).tolist() == [0, 1, 1, 1]
