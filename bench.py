@@ -178,6 +178,67 @@ def main():
     chained_p50 = float((np.percentile(cts_ms, 50) - rtt_floor) / K)
     chained_p99 = float((np.percentile(cts_ms, 99) - rtt_floor) / K)
 
+    # ---- breadth points (VERDICT r2 item #10): the perf claim generalizes
+    # beyond H1-full-centroidal.  Smaller step counts — these are coverage
+    # points, not the headline.
+    extras = {}
+    if os.environ.get("BENCH_EXTRA", "1") != "0":
+        import dataclasses as _dc
+
+        def _throughput(iface_x, settings_x, gait_name):
+            rm_x = iface_x.make_reference_manager()
+            if gait_name in iface_x.task.gait_library:
+                rm_x.set_gait(iface_x.task.gait_library[gait_name], start_time=0.1)
+            fz = rm_x.freeze(0.0)
+            tn = jnp.asarray(fz.t_nodes)
+            refs_x = build_refs(iface_x.info, fz.gait, fz.swing, fz.target, tn)
+            x0_x = jnp.asarray(iface_x.initial_state)
+            xs_x, us_x = initial_trajectory(
+                iface_x.info, refs_x, x0_x, settings_x.num_intervals + 1
+            )
+            sv = make_batched_solver(
+                iface_x.model, iface_x.info, settings_x, iface_x.Q, iface_x.R,
+                donate_warm_start=False,
+            )
+            tl = lambda a: jnp.broadcast_to(a[None], (BATCH,) + a.shape).copy()
+            rb, tb, xb = jax.tree.map(tl, refs_x), tl(tn), tl(x0_x)
+            xsb, usb = tl(xs_x), tl(us_x)
+            for _ in range(2):
+                s = sv(rb, tb, xb, xsb, usb)
+                xsb, usb = s.x_traj, s.u_traj
+            jax.block_until_ready(s.x_traj)
+            steps_x = max(2, STEPS // 2)
+            te = time.perf_counter()
+            for _ in range(steps_x):
+                s = sv(rb, tb, xb, xsb, usb)
+                xsb, usb = s.x_traj, s.u_traj
+            jax.block_until_ready(s.x_traj)
+            return BATCH * steps_x / (time.perf_counter() - te) / max(n_chips, 1)
+
+        try:
+            # SRBD (centroidalModelType 1) on the H1 task — merit/linearize
+            # kernels gate to XLA for model_type 1 by design
+            from bipedal_control_tpu.model.centroidal import make_info
+
+            info_srbd = _dc.replace(
+                iface.info, model_type=1,
+                q_j_nominal=tuple(float(v) for v in np.asarray(iface.initial_state)[12:]),
+            )
+            iface_srbd = _dc.replace(iface, info=info_srbd)
+            settings_srbd = _dc.replace(settings, merit="xla")
+            extras["srbd_solves_per_s"] = round(_throughput(iface_srbd, settings_srbd, "trot"), 2)
+        except Exception as e:  # noqa: BLE001 — breadth must not sink the headline
+            extras["srbd_error"] = str(e)[:200]
+        try:
+            iface_g1 = make_interface_for("g1")
+            settings_g1 = _dc.replace(
+                iface_g1.settings, sqp_iterations=1, linesearch_alphas=alphas,
+                riccati=riccati, merit=merit,
+            )
+            extras["g1_solves_per_s"] = round(_throughput(iface_g1, settings_g1, "trot"), 2)
+        except Exception as e:  # noqa: BLE001
+            extras["g1_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -194,6 +255,7 @@ def main():
                 "device_solve_p99_ms": round(chained_p99, 3),
                 "p99_vs_10ms_budget": round(10.0 / chained_p99, 4),
                 "defect_l1": float(jnp.sum(sol1.defect_norm)),
+                **extras,
             }
         )
     )

@@ -120,6 +120,17 @@ def cmd_sim(args):
             router = CommandRouter(ctrl, iface, observation=lambda: ctrl.last_observation)
             channel = StdinCommandChannel(router)
             channel.start()
+        viewer = None
+        if getattr(args, "view", False):
+            # live 3D window (the role of the reference's vendored MuJoCo
+            # `simulate` GUI, bipedal_mujoco/src/main.cc:505-556) — a
+            # passive viewer synced once per control tick
+            import mujoco.viewer
+
+            try:
+                viewer = mujoco.viewer.launch_passive(sim.model, sim.data)
+            except Exception as e:  # noqa: BLE001 — headless hosts
+                print(f"viewer unavailable ({e}); continuing headless", file=sys.stderr)
         control_dt = 1.0 / args.control_frequency
         substeps = max(1, int(round(control_dt / sim.timestep)))
         steps = int(round(args.duration / control_dt))
@@ -143,10 +154,17 @@ def cmd_sim(args):
                 break
             sim.apply_command(cmd)
             sim.step(substeps)
+            if viewer is not None:
+                if not viewer.is_running():
+                    print("viewer closed; stopping")
+                    break
+                viewer.sync()
     finally:
         ctrl.stop()
         if channel is not None:
             channel.close()
+        if viewer is not None:
+            viewer.close()
     pos, _, _, _ = sim.ground_truth()
     print(f"sim done at t={sim.time:.2f}s base at ({pos[0]:.3f}, {pos[1]:.3f}, {pos[2]:.3f}) "
           f"safe={ctrl.safe}")
@@ -250,6 +268,8 @@ def main(argv=None):
                    help="async mode: throttle sim so policies never age past this [s]")
     p.add_argument("--estimator", default="cheater", choices=["cheater", "kalman"],
                    help="cheater (ground truth) or the contact Kalman filter")
+    p.add_argument("--view", action="store_true",
+                   help="live MuJoCo 3D window (passive viewer synced per tick)")
     p.add_argument("--interactive", action="store_true",
                    help="stdin command channel: gait/cmd_vel/goal/stop on the running loop")
     p.set_defaults(fn=cmd_sim)

@@ -41,6 +41,41 @@ class DdpConfig:
 
 
 @dataclasses.dataclass
+class IpmConfig:
+    """task.info `ipm` block (task.info:86-156) — the interior-point solver
+    settings the reference's DDP/IPM node consumes (BipedalRobotDdpMpcNode).
+
+    Our TPU-first equivalent of the primal-dual IPM is the hard-cone barrier
+    CONTINUATION (solver/sqp.py, cone="hard"): the relaxed log-barrier's mu
+    and switch point shrink geometrically across SQP iterations toward a
+    near-true log barrier, which reproduces the central-path march without
+    per-constraint slack/dual vectors (those would add 20 extra decision
+    rows per node of sequential fraction-to-boundary logic — control flow
+    XLA can't batch).  The mapping:
+
+        targetBarrierParameter      -> cone_mu_final (final barrier weight)
+        barrierLinearDecreaseFactor -> cone_mu_decay (per-iteration shrink)
+        ipmIteration                -> sqp_iterations for the hard path
+
+    What a true primal-dual variant would add: explicit slack/dual iterates
+    with a fraction-to-boundary step rule (fractionToBoundaryMargin) and
+    independent dual step sizes (usePrimalStepSizeForDual) — faster
+    convergence deep inside the horizon for very active cones, at the cost
+    of the extra per-node state.  The continuation reaches the same KKT
+    points (tests/test_hard_cone.py pins active-cone solutions against the
+    activity oracle)."""
+
+    iterations: int = 1  # ipm.ipmIteration
+    dt: float = 0.015  # ipm.dt
+    initial_barrier: float = 1e-4  # ipm.initialBarrierParameter
+    target_barrier: float = 1e-4  # ipm.targetBarrierParameter
+    decrease_factor: float = 0.2  # ipm.barrierLinearDecreaseFactor
+    superlinear_power: float = 1.5  # ipm.barrierSuperlinearDecreasePower
+    fraction_to_boundary: float = 0.995  # ipm.fractionToBoundaryMargin (doc only)
+    use_feedback_policy: bool = True  # ipm.useFeedbackPolicy
+
+
+@dataclasses.dataclass
 class MpcConfig:
     time_horizon: float = 1.0
     mpc_desired_frequency: float = 50.0
@@ -87,6 +122,7 @@ class TaskConfig:
     cone_mode: str = "soft"
     wbc: WbcConfig = None
     ddp: DdpConfig = dataclasses.field(default_factory=DdpConfig)
+    ipm: IpmConfig = dataclasses.field(default_factory=IpmConfig)
     # reference.info
     com_height: float = 0.9
     default_joint_state: np.ndarray = None  # (nj,)
@@ -181,6 +217,16 @@ def load_task_config(
         mrt_desired_frequency=info.get_scalar(t, "mpc.mrtDesiredFrequency", 400.0),
         cold_start=info.get_bool(t, "mpc.coldStart", False),
     )
+    ipm = IpmConfig(
+        iterations=int(info.get_scalar(t, "ipm.ipmIteration", 1)),
+        dt=info.get_scalar(t, "ipm.dt", 0.015),
+        initial_barrier=info.get_scalar(t, "ipm.initialBarrierParameter", 1e-4),
+        target_barrier=info.get_scalar(t, "ipm.targetBarrierParameter", 1e-4),
+        decrease_factor=info.get_scalar(t, "ipm.barrierLinearDecreaseFactor", 0.2),
+        superlinear_power=info.get_scalar(t, "ipm.barrierSuperlinearDecreasePower", 1.5),
+        fraction_to_boundary=info.get_scalar(t, "ipm.fractionToBoundaryMargin", 0.995),
+        use_feedback_policy=info.get_bool(t, "ipm.useFeedbackPolicy", True),
+    )
     ddp = DdpConfig(
         algorithm=info.get_string(t, "ddp.algorithm", "ILQR").lower(),
         max_iterations=int(info.get_scalar(t, "ddp.maxNumIterations", 10)),
@@ -222,6 +268,7 @@ def load_task_config(
         sqp=sqp,
         mpc=mpc,
         ddp=ddp,
+        ipm=ipm,
         initial_state=info.get_matrix(t, "initialState", nx),
         Q=info.get_matrix(t, "Q", nx, nx),
         R_task=info.get_matrix(t, "R", 6 * nc, 6 * nc),

@@ -75,6 +75,36 @@ class RobotInterface:
         )
 
 
+def ocp_settings_from_task(task) -> OcpSettings:
+    """task.info sqp/ipm blocks -> OcpSettings.  When the task selects the
+    hard cone (useAnalyticalGradientsConstraints, the reference's IPM
+    configuration) the `ipm` block binds onto the barrier continuation:
+    targetBarrierParameter -> cone_mu_final, barrierLinearDecreaseFactor ->
+    cone_mu_decay, ipmIteration floors the iteration count (see
+    config/loader.py::IpmConfig for the mapping rationale)."""
+    import dataclasses as _dc
+
+    settings = OcpSettings(
+        dt=task.sqp.dt,
+        horizon=task.mpc.time_horizon,
+        sqp_iterations=task.sqp.sqp_iterations,
+        friction_coefficient=task.friction_coefficient,
+        cone=task.cone_mode,
+        barrier_mu=task.sqp.inequality_constraint_mu,
+        barrier_delta=task.sqp.inequality_constraint_delta,
+        position_error_gain=task.position_error_gain,
+        integrator=task.sqp.integrator,
+    )
+    if task.cone_mode == "hard":
+        settings = _dc.replace(
+            settings,
+            sqp_iterations=max(task.ipm.iterations, settings.sqp_iterations),
+            cone_mu_decay=task.ipm.decrease_factor,
+            cone_mu_final=task.ipm.target_barrier,
+        )
+    return settings
+
+
 def make_interface(
     urdf_path: str,
     task_file: str,
@@ -110,17 +140,7 @@ def make_interface(
         q_j_nominal=tuple(task.initial_state[12:]) if task.centroidal_model_type == 1 else (),
     )
     R = build_input_cost_weight(model, info, task.R_task, task.initial_state)
-    settings = OcpSettings(
-        dt=task.sqp.dt,
-        horizon=task.mpc.time_horizon,
-        sqp_iterations=task.sqp.sqp_iterations,
-        friction_coefficient=task.friction_coefficient,
-        cone=task.cone_mode,
-        barrier_mu=task.sqp.inequality_constraint_mu,
-        barrier_delta=task.sqp.inequality_constraint_delta,
-        position_error_gain=task.position_error_gain,
-        integrator=task.sqp.integrator,
-    )
+    settings = ocp_settings_from_task(task)
     if info.model_type == 0:
         # warm the Pallas merit kernel's static-model cache while the model
         # arrays are concrete (under jit the pytree leaves become tracers and

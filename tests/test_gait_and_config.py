@@ -177,3 +177,35 @@ def test_time_grid_clustered_events():
     assert np.all(np.diff(grid3) > 0)
     for ev in (0.02, 0.04, 0.06):
         assert np.any(np.abs(grid3 - ev) < 1e-12), ev
+
+
+def test_ipm_block_parsed_and_bound():
+    """The reference's `ipm` block (task.info:86-156) parses into IpmConfig
+    and, when the task selects the hard cone, binds onto the barrier
+    continuation through the same factory path (VERDICT r2 item #8)."""
+    import copy
+
+    from bipedal_control_tpu.interface import make_interface_for, ocp_settings_from_task
+
+    iface = make_interface_for("h1")
+    ipm = iface.task.ipm
+    # values straight from the reference file
+    assert ipm.iterations == 1
+    assert ipm.dt == 0.015
+    assert ipm.initial_barrier == 1e-4
+    assert ipm.target_barrier == 1e-4
+    assert ipm.decrease_factor == 0.2
+    assert ipm.superlinear_power == 1.5
+    assert ipm.fraction_to_boundary == 0.995
+    assert ipm.use_feedback_policy is True
+    # H1 ships useAnalyticalGradientsConstraints false -> soft cone, no bind
+    assert iface.settings.cone == "soft"
+
+    # a task selecting the IPM path gets the ipm-bound continuation
+    task_hard = copy.copy(iface.task)
+    task_hard.cone_mode = "hard"
+    s = ocp_settings_from_task(task_hard)
+    assert s.cone == "hard"
+    assert s.cone_mu_decay == 0.2
+    assert s.cone_mu_final == 1e-4
+    assert s.sqp_iterations >= ipm.iterations
