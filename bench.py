@@ -47,8 +47,14 @@ def main():
     n_chips = len(jax.devices())
 
     iface = make_interface_for("h1")
+    # Single-candidate RTI linesearch by default: the safety sweep
+    # (tools/alpha_sweep.py -> SWEEP_ALPHAS_r03.json) shows parity with the
+    # two-candidate run across cold start / gait switch / disturbance /
+    # stale-observation scenarios (the filter's alpha=0 fallback covers the
+    # one transient rejection), and the device p99 drops ~3.8x
+    # (LATENCY_r02: 7.16 ms -> 1.87 ms at identical defect).
     alphas = tuple(
-        float(a) for a in os.environ.get("BENCH_ALPHAS", "1.0,0.5").split(",")
+        float(a) for a in os.environ.get("BENCH_ALPHAS", "1.0").split(",")
     )
     # whole-backward-sweep Pallas Riccati kernel on TPU (3.1x the XLA scan at
     # B=256, no less accurate vs an f64 oracle); CPU smoke runs keep the XLA
