@@ -84,6 +84,12 @@ class OcpSettings:
     # (whole-horizon lane-layout kernel, ops/pallas_merit.py — the TPU
     # production path; FK-free cost terms stay outside as MXU matmuls)
     merit: str = "xla"
+    # Linearization backend: "structured" (analytic XLA path,
+    # ocp/linearize.py) or "pallas" (whole-node lane-layout kernel,
+    # ops/pallas_linearize_kernel.py — the TPU production path; cost
+    # quadratics stay outside as MXU matmuls).  Full-centroidal + same-point
+    # RK2/euler only; other modes keep the structured path.
+    linearize: str = "structured"
 
     @property
     def num_intervals(self) -> int:

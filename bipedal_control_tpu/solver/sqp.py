@@ -163,6 +163,10 @@ def sqp_solve(
         )
 
     def _lin_fn(settings_it):
+        if settings.linearize == "pallas":
+            from ..ops.pallas_linearize_kernel import make_node_linearizer
+
+            return make_node_linearizer(model, info, settings_it, Q, R)
         return jax.vmap(
             lambda x, u, xn, ref: linearize_node_structured(
                 model, info, settings_it, Q, R, x, u, xn, ref
