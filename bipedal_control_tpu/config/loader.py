@@ -179,6 +179,7 @@ def load_task_config(
     reference_file: str,
     gait_file: str | None = None,
     overrides_file: str | None = None,
+    extra_gait_file: str | None = None,
 ) -> TaskConfig:
     t = info.load_info(task_file)
     r = info.load_info(reference_file)
@@ -305,6 +306,14 @@ def load_task_config(
         g = info.load_info(gait_file)
         for name in info.get_string_list(g, "list"):
             cfg.gait_library[name] = _mode_sequence_template(g, name)
+    # authored supplements on top of the reference's gait library (same
+    # overlay idea as overrides.info: reference files load unchanged, local
+    # tuning lives in configs/<robot>/)
+    if extra_gait_file and os.path.exists(extra_gait_file):
+        g = info.load_info(extra_gait_file)
+        for name in info.get_string_list(g, "list"):
+            cfg.gait_library[name] = _mode_sequence_template(g, name)
+            print(f"[config] extra gait ({os.path.basename(extra_gait_file)}): {name}")
     return cfg
 
 

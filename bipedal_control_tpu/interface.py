@@ -111,8 +111,11 @@ def make_interface(
     reference_file: str,
     gait_file: str | None = None,
     overrides_file: str | None = None,
+    extra_gait_file: str | None = None,
 ) -> RobotInterface:
-    task = load_task_config(task_file, reference_file, gait_file, overrides_file)
+    task = load_task_config(
+        task_file, reference_file, gait_file, overrides_file, extra_gait_file
+    )
     # Upper-body joints are welded at the *held* pose (defaultUpperJointState,
     # what UpperJointController actually commands) rather than at zero.  The
     # reference's reduced pinocchio model welds at zero
@@ -178,4 +181,5 @@ def make_interface_for(robot: str | RobotAssets) -> RobotInterface:
         assets.reference_info,
         assets.gait_info,
         overrides_file=assets.overrides_info,
+        extra_gait_file=assets.extra_gait_info,
     )

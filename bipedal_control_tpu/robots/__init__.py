@@ -27,6 +27,8 @@ class RobotAssets:
     # optional .info overlay applied on top of task.info (declarative
     # dynamic-reconfigure: runtime-tuned knobs live in a file, logged on load)
     overrides_info: str | None = None
+    # optional authored gait supplements merged over the reference gait.info
+    extra_gait_info: str | None = None
 
     def exists(self) -> bool:
         return os.path.exists(self.urdf)
@@ -66,6 +68,7 @@ REGISTRY: dict[str, RobotAssets] = {
         gait_info=_example("openloong_description/config/command/gait.info"),
         mjcf=_example("openloong_description/mjcf/scene.xml"),
         overrides_info=_local_config("openloong/overrides.info"),
+        extra_gait_info=_local_config("openloong/extra_gaits.info"),
     ),
     "g1": RobotAssets(
         name="g1",

@@ -52,3 +52,47 @@ def test_g1_stance_balance():
     # G1 stands at ~0.66 m base height (com_height band 0.65-0.72)
     assert pos[2] > 0.6, pos
     assert abs(pos[0]) < 0.3 and abs(pos[1]) < 0.3, pos
+
+
+def test_g1_standing_trot():
+    """G1 standing-trots in physics on the AUTHORED gait config (VERDICT r2
+    item #4): feet lift and re-plant for 3 s, base stays in the com-height
+    band.  The round-2 falling regression was the one-replan-period warm
+    start misalignment fixed in sim/... solver warm_start_trajectories."""
+    pytest.importorskip("mujoco")
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.controller import BipedalController
+    from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
+
+    iface = make_interface_for("g1")
+    sim = MujocoSimBackend(MJCF, list(iface.task.joint_names), MujocoSimConfig())
+    x0 = iface.initial_state
+    upper = {}
+    if iface.task.upper_joint_names and iface.task.default_upper_joint_state is not None:
+        upper = dict(zip(iface.task.upper_joint_names, iface.task.default_upper_joint_state))
+    sim.reset(
+        base_pos=x0[6:9] + np.array([0.0, 0.0, 0.02]),
+        base_quat_wxyz=np.array([1.0, 0, 0, 0]),
+        joint_pos=x0[12:],
+        upper_joint_targets=upper,
+    )
+    ctrl = BipedalController(iface)
+    ctrl.starting(sim.time, sim.rbd_state())
+    ctrl.set_gait(iface.task.gait_library["standing_trot"], start_time=sim.time + 0.3)
+    control_dt = 1.0 / 500.0
+    substeps = max(1, int(round(control_dt / sim.timestep)))
+    z_min = 10.0
+    for _ in range(int(3.0 / control_dt)):
+        rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
+        cmd = ctrl.update(sim.time, rbd)
+        assert np.all(np.isfinite(cmd.tau_ff))
+        sim.apply_command(cmd)
+        sim.step(substeps)
+        z_min = min(z_min, sim.ground_truth()[0][2])
+        if not ctrl.safe:
+            break
+    pos = sim.ground_truth()[0]
+    assert ctrl.safe, f"safety stop, base at {pos}"
+    assert pos[2] > 0.6, pos  # measured 0.662 at t=3
+    assert z_min > 0.55, z_min  # measured 0.632
+    assert abs(pos[0]) < 0.3 and abs(pos[1]) < 0.3, pos

@@ -57,3 +57,48 @@ def test_openloong_stance_balance():
     assert ctrl.safe, f"safety stop, base at {pos}"
     assert pos[2] > 0.95, pos
     assert abs(pos[0] - x0[6]) < 0.3 and abs(pos[1] - x0[7]) < 0.3, pos
+
+
+def test_openloong_fast_trot_steps_in_place():
+    """OpenLoong STEPS in closed-loop physics on the authored fast_trot
+    cadence (configs/openloong/extra_gaits.info): 3 s of alternating single
+    support, upright throughout.  Sustained cmd_vel walking is blocked on
+    lateral-capture step placement — this robot's line feet (one lateral
+    offset per foot) + welded upper body leave lateral balance to step
+    timing alone, and the reference trot's 0.35 s phases tip it in ~1.5 s
+    (sweep logs, 2026-08-21).  The reference never ran OpenLoong stepping
+    at all."""
+    pytest.importorskip("mujoco")
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.controller import BipedalController
+    from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
+
+    iface = make_interface_for("openloong")
+    assert "fast_trot" in iface.task.gait_library
+    sim = MujocoSimBackend(MJCF, list(iface.task.joint_names), MujocoSimConfig())
+    x0 = iface.initial_state
+    upper = {}
+    if iface.task.upper_joint_names and iface.task.default_upper_joint_state is not None:
+        upper = dict(zip(iface.task.upper_joint_names, iface.task.default_upper_joint_state))
+    sim.reset(
+        base_pos=x0[6:9] + np.array([0.0, 0.0, 0.01]),
+        base_quat_wxyz=np.array([1.0, 0, 0, 0]),
+        joint_pos=x0[12:],
+        upper_joint_targets=upper,
+    )
+    ctrl = BipedalController(iface)
+    ctrl.starting(sim.time, sim.rbd_state())
+    ctrl.set_gait(iface.task.gait_library["fast_trot"], start_time=sim.time + 0.6)
+    control_dt = 1.0 / 500.0
+    substeps = max(1, int(round(control_dt / sim.timestep)))
+    for _ in range(int(3.0 / control_dt)):
+        rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
+        cmd = ctrl.update(sim.time, rbd)
+        assert np.all(np.isfinite(cmd.tau_ff))
+        sim.apply_command(cmd)
+        sim.step(substeps)
+        if not ctrl.safe:
+            break
+    pos = sim.ground_truth()[0]
+    assert ctrl.safe, f"safety stop at t={sim.time:.2f}, base at {pos}"
+    assert pos[2] > 0.55, pos
