@@ -71,12 +71,19 @@ def main():
         "BENCH_MERIT",
         "pallas" if plat in ("tpu", "axon") and iface.info.model_type == 0 else "xla",
     )
+    # whole-node linearization kernel (ops/pallas_linearize_kernel.py): the
+    # linearization was ~78% of the solve after the riccati/merit kernels
+    linearize = os.environ.get(
+        "BENCH_LINEARIZE",
+        "pallas" if plat in ("tpu", "axon") and iface.info.model_type == 0 else "structured",
+    )
     settings = dataclasses.replace(
         iface.settings,
         sqp_iterations=1,
         linesearch_alphas=alphas,
         riccati=riccati,
         merit=merit,
+        linearize=linearize,
     )
     rm = iface.make_reference_manager()
     rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
@@ -231,7 +238,7 @@ def main():
                 q_j_nominal=tuple(float(v) for v in np.asarray(iface.initial_state)[12:]),
             )
             iface_srbd = _dc.replace(iface, info=info_srbd)
-            settings_srbd = _dc.replace(settings, merit="xla")
+            settings_srbd = _dc.replace(settings, merit="xla", linearize="structured")
             extras["srbd_solves_per_s"] = round(_throughput(iface_srbd, settings_srbd, "trot"), 2)
         except Exception as e:  # noqa: BLE001 — breadth must not sink the headline
             extras["srbd_error"] = str(e)[:200]
