@@ -169,6 +169,41 @@ def test_batched_cascade_walks(h1):
     assert np.isfinite(float(res.defect_last[0]))
 
 
+def test_batched_cascade_lateral_and_yaw(h1):
+    """cmd_vel envelope beyond forward walking, on device: a lateral
+    command moves the batch sideways and a yaw command turns it, both
+    upright throughout (tracking is looser than sagittal walking — the
+    asserts pin direction + magnitude, measured 2026-08-21: lateral
+    y +0.52 m / yaw +0.40 rad in 3 s)."""
+    from bipedal_control_tpu.sim.batch_loop import (
+        BatchLoopConfig,
+        make_batched_closed_loop,
+    )
+
+    iface = dataclasses.replace(
+        h1, settings=dataclasses.replace(h1.settings, dt=0.02, sqp_iterations=1)
+    )
+    X = jnp.asarray(np.asarray(iface.initial_state)[None])
+
+    run = make_batched_closed_loop(
+        iface, BatchLoopConfig(duration=3.0), gait="trot", gait_at=0.2,
+        cmd_vel=(0.0, 0.2, 0.0, 0.0),
+    )
+    res = run(X)
+    q = np.asarray(res.final_state.q)
+    assert q[0, 1] > 0.3, q[0, :3]  # moved laterally with the command
+    assert q[0, 2] > 0.85 and float(res.base_z_min[0]) > 0.8
+
+    run = make_batched_closed_loop(
+        iface, BatchLoopConfig(duration=3.0), gait="trot", gait_at=0.2,
+        cmd_vel=(0.0, 0.0, 0.0, 0.5),
+    )
+    res = run(X)
+    q = np.asarray(res.final_state.q)
+    assert q[0, 3] > 0.25, q[0, 3]  # turned with the yaw command
+    assert q[0, 2] > 0.85 and float(res.base_z_min[0]) > 0.8
+
+
 def test_on_device_vs_host_mujoco_stance_parity(h1):
     """Single-scenario behavioral parity with the host MuJoCo loop (the
     VERDICT item-2 'MJX run matches host loop' criterion, adapted: penalty
