@@ -224,9 +224,15 @@ class AsyncMpcRunner:
 
     # -- worker side ----------------------------------------------------
     def prime(self, t0: float, x0) -> PolicySnapshot:
-        """Synchronous first solve + publish (also warms the jit compile)."""
+        """Synchronous first solves + publish.  Runs the replan TWICE so both
+        compiled paths (cold start and warm start — distinct programs) are
+        built before the worker goes live; otherwise the worker's first
+        replan stalls the policy stream for the whole warm-path compile
+        (seconds to minutes on a remote chip)."""
         self.runner.reset()
-        self._solve_and_publish(t0, np.asarray(x0, dtype=np.float64))
+        x0 = np.asarray(x0, dtype=np.float64)
+        self._solve_and_publish(t0, x0)
+        self._solve_and_publish(t0, x0)
         return self.poll_policy()
 
     def _solve_and_publish(self, t_obs: float, x_obs: np.ndarray) -> None:

@@ -92,6 +92,29 @@ class MpcRunner:
             raise ValueError(f"unknown solver {solver!r} (expected 'sqp' or 'ilqr')")
         self._solve = _solve
 
+        # The WHOLE replan — node-reference lookup, warm-start interpolation,
+        # solve — as ONE compiled dispatch.  Running build_refs /
+        # warm_start_from_solution eagerly costs dozens of op round trips per
+        # replan, which on a remotely attached chip (~26 ms tunnel RTT each)
+        # turns a 27 ms solve into seconds (measured in the wall-clock soak).
+        num_nodes = settings.num_intervals + 1
+        from ..solver.sqp import warm_start_trajectories
+
+        @jax.jit
+        def _replan_cold(gait, swing, target, t_nodes, x_init):
+            refs = build_refs(info, gait, swing, target, t_nodes)
+            xs, us = initial_trajectory(info, refs, x_init, num_nodes)
+            return _solve(refs, t_nodes, x_init, xs, us)
+
+        @jax.jit
+        def _replan_warm(gait, swing, target, t_nodes, x_init, prev_t, prev_xs, prev_us):
+            refs = build_refs(info, gait, swing, target, t_nodes)
+            xs, us = warm_start_trajectories(prev_t, prev_xs, prev_us, t_nodes)
+            return _solve(refs, t_nodes, x_init, xs, us)
+
+        self._replan_cold = _replan_cold
+        self._replan_warm = _replan_warm
+
     def reset(self):
         self.last_solution = None
         self.last_frozen = None
@@ -109,18 +132,21 @@ class MpcRunner:
 
     def advance_frozen(self, t: float, x_measured, frozen) -> SqpSolution:
         """Solve against an already-frozen reference set (the async worker
-        freezes under the gait lock, then solves outside it)."""
+        freezes under the gait lock, then solves outside it).  One device
+        dispatch: references, warm start, and solve are fused."""
         self.last_frozen = frozen
         t_nodes = jnp.asarray(frozen.t_nodes)
-        refs = build_refs(self.iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
-        if self.last_solution is None:
-            xs, us = initial_trajectory(
-                self.iface.info, refs, x_measured, self.iface.settings.num_intervals + 1
-            )
-        else:
-            xs, us = warm_start_from_solution(self.last_solution, t_nodes)
         with self.timer:
-            sol = self._solve(refs, t_nodes, x_measured, xs, us)
+            if self.last_solution is None:
+                sol = self._replan_cold(
+                    frozen.gait, frozen.swing, frozen.target, t_nodes, x_measured
+                )
+            else:
+                prev = self.last_solution
+                sol = self._replan_warm(
+                    frozen.gait, frozen.swing, frozen.target, t_nodes, x_measured,
+                    prev.t_nodes, prev.x_traj, prev.u_traj,
+                )
             jax.block_until_ready(sol.x_traj)
         self.last_solution = sol
         return sol
