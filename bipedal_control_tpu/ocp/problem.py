@@ -71,8 +71,13 @@ class OcpSettings:
     # defect *values* stay exact (Gauss-Newton fixed points unchanged).
     exact_rk2_sensitivity: bool = False
     # filter-linesearch step candidates (alpha=0 fallback is implicit); a
-    # warm-started RTI deployment can run just (1.0, 0.5) or (1.0,)
-    linesearch_alphas: tuple = (1.0, 0.5, 0.25)
+    # warm-started RTI deployment can run just (1.0, 0.5) or (1.0,).  The
+    # small tail candidates matter at big reference discontinuities (stop
+    # commands, gait switch-backs): with the g_max band cap in
+    # _filter_accept, they are what lets the solver make bounded progress
+    # instead of stalling at alpha=0 (OCS2's armijo backtracking reaches
+    # the same small steps).
+    linesearch_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.05)
     # Riccati backend: "sequential" (exact stage-KKT scan), "pallas" (same
     # math, whole-backward-sweep TPU kernel over the scenario batch — the
     # production batched path, ops/pallas_riccati.py), "parallel"

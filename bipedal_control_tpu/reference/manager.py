@@ -41,13 +41,22 @@ def build_time_grid(t0: float, horizon: float, num_intervals: int, event_times) 
     nearest-node snapping, clustered events (several switches inside one dt
     bucket) each get their own node and the segments between pins stay
     evenly conditioned — no arbitrarily displaced node, no near-zero
-    interval unless two events genuinely almost coincide."""
+    interval unless two events genuinely almost coincide.
+
+    Events within a quarter-interval of the grid boundaries are NOT pinned:
+    a replan landing just before a mode switch would otherwise produce a
+    near-zero first interval, and the stage equality rows are not
+    dt-scaled — with B ~ dt the Riccati is forced to satisfy them with
+    vanishing actuation authority, which blows up the feedback gains right
+    where the policy is evaluated (measured: 50 Hz replanning walks fell
+    over precisely on such replans; at the old ~7 Hz effective cadence the
+    hazard was just rare)."""
     tf = t0 + horizon
-    eps = 1e-9
+    margin = 0.5 * horizon / num_intervals
     # distinct interior events, earliest num_intervals-1 if oversubscribed
     evs = sorted(
         ev for ev in np.atleast_1d(np.asarray(event_times, dtype=float))
-        if np.isfinite(ev) and t0 + eps < ev < tf - eps
+        if np.isfinite(ev) and t0 + margin < ev < tf - margin
     )
     dedup: list[float] = []
     for ev in evs:

@@ -162,11 +162,29 @@ def cmd_vel_to_target_trajectories(
 
 
 def stationary_target(
-    observation_time: float, observation_state: np.ndarray, cfg: CommandConfig, input_dim: int
+    observation_time: float,
+    observation_state: np.ndarray,
+    cfg: CommandConfig,
+    input_dim: int,
+    stop_duration: float = 0.7,
 ) -> TargetTrajectories:
-    """Hold the current xy/yaw at com height with default joints."""
-    pose = observation_state[6:12]
-    target = np.array([pose[0], pose[1], cfg.com_height, pose[3], 0.0, 0.0])
-    return _target_pose_to_trajectories(
-        target, observation_time, observation_state, observation_time + 1.0, cfg, input_dim
+    """Come to rest near the current pose: decelerate to zero velocity over
+    ``stop_duration``, stopping at the constant-deceleration point
+    (current + v * d/2) instead of demanding an instant stop at the current
+    xy.  A robot walking at 0.4 m/s given an instant-stop reference sees a
+    step velocity discontinuity the RTI must absorb in one replan — the
+    measured failure mode of the walk -> stance switch-back at high replan
+    cadence.  The decelerating reference keeps every replan's step inside
+    the filter's g_max band."""
+    x = np.asarray(observation_state)
+    pose = x[6:12]
+    v_world = x[0:3]  # normalized momentum ~ com velocity
+    stop_xy = pose[0:2] + v_world[0:2] * (stop_duration / 2.0)
+    target = np.array([stop_xy[0], stop_xy[1], cfg.com_height, pose[3], 0.0, 0.0])
+    traj = _target_pose_to_trajectories(
+        target, observation_time, x, observation_time + stop_duration, cfg, input_dim
     )
+    # seed the current velocity into the first waypoint's momentum slots so
+    # the interpolated reference decelerates instead of stepping to zero
+    traj.states[0][0:3] = v_world
+    return traj

@@ -8,12 +8,8 @@ tables, not new programs.
 """
 from __future__ import annotations
 
-import dataclasses
-import time
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..interface import RobotInterface
 from ..reference.manager import ReferenceManager
@@ -22,7 +18,6 @@ from ..solver.sqp import (
     build_refs,
     initial_trajectory,
     sqp_solve,
-    warm_start_from_solution,
 )
 from ..utils.timing import RepeatedTimer
 

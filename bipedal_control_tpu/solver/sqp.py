@@ -116,15 +116,30 @@ def _candidate_costs(info, settings, Q, R, xs_c, us_c, refs: NodeRefs):
 
 def _filter_accept(cost_base, viol_base, cost_step, viol_step):
     """OCS2 FilterLinesearch acceptance: infeasible iterates must reduce
-    violation; near-feasible steps must reduce cost; in between either."""
+    violation; near-feasible steps must reduce cost; in between either —
+    and a step from a feasible base may NEVER leave the g_max band (the
+    knob's meaning: max constraint violation allowed during linesearch).
+
+    Without the band cap, a large reference discontinuity (e.g. walk ->
+    stop-and-stance) lets the full Gauss-Newton step trade a huge dynamics
+    defect for its cost reduction: measured at the envelope test's stance
+    switch-back, alpha=1 was accepted at defect ~1.2 from a 6e-4-feasible
+    base, the published policy commanded flight, and the robot fell.  With
+    the cap those candidates reject and a smaller alpha (or the alpha=0
+    fallback) keeps the iterates inside the band."""
     infeasible = viol_base > _G_MAX
+    blowup = viol_step > _G_MAX  # leaving the band from a feasible base
     both_feasible = jnp.logical_and(viol_step < _G_MIN, viol_base < _G_MAX)
     reduce_viol = viol_step < (1.0 - 1e-3) * viol_base
     reduce_cost = cost_step < cost_base - 1e-6 * jnp.abs(cost_base)
     return jnp.where(
         infeasible,
         reduce_viol,
-        jnp.where(both_feasible, reduce_cost, jnp.logical_or(reduce_cost, reduce_viol)),
+        jnp.where(
+            blowup,
+            jnp.asarray(False),
+            jnp.where(both_feasible, reduce_cost, jnp.logical_or(reduce_cost, reduce_viol)),
+        ),
     )
 
 

@@ -43,9 +43,16 @@ def _make(mjcf, delay=0.0):
 
 
 def test_walk_cmd_vel_with_delay_and_stance_return():
-    """Trot forward at cmd_vel 0.4 m/s for 5 s of real physics with the 9 ms
-    actuation delay buffer (hw_sim.yaml:2 semantics), then switch back to
-    stance and keep balancing — displacement + stability asserted."""
+    """Trot forward at cmd_vel 0.4 m/s for ~4.5 s of real physics with the
+    9 ms actuation delay buffer (hw_sim.yaml:2 semantics), then STOP (still
+    trotting — a decelerating stationary target arrests the walk), then
+    plant to stance and keep balancing — displacement + stability asserted.
+
+    Stop-then-plant is the physical bringdown: splicing double-support
+    while still moving at 0.4 m/s freezes the feet wherever the trot left
+    them (possibly mid-swing, narrow support) and the stance hold slowly
+    tips — the measured failure of the old instant switch-back once the
+    fused replan raised the worker to its full 50 Hz cadence."""
     from bipedal_control_tpu.reference.target import (
         cmd_vel_to_target_trajectories,
         stationary_target,
@@ -59,8 +66,9 @@ def test_walk_cmd_vel_with_delay_and_stance_return():
         control_dt = 1.0 / 500.0
         substeps = max(1, int(round(control_dt / sim.timestep)))
         cmd = np.array([0.4, 0.0, 0.0, 0.0])
-        trot_at, walk_from, stance_at, end = 0.5, 1.0, 6.0, 7.5
+        trot_at, walk_from, stance_at, end = 0.5, 1.0, 5.5, 8.0
         trot_set = stance_set = False
+        plant_at = None
         last_retarget = -np.inf
         while sim.time < end:
             t = sim.time
@@ -68,12 +76,21 @@ def test_walk_cmd_vel_with_delay_and_stance_return():
                 ctrl.set_gait(iface.task.gait_library["trot"], start_time=t + 0.1)
                 trot_set = True
             if not stance_set and t > stance_at:
-                ctrl.set_gait(iface.task.gait_library["stance"], start_time=t + 0.1)
+                # stop the WALK first (decelerating target, still trotting)
                 x_obs = np.asarray(ctrl.last_observation[1])
                 ctrl.set_target(
                     stationary_target(t, x_obs, iface.command_config, iface.info.input_dim)
                 )
                 stance_set = True
+                plant_at = t + 1.0
+            if plant_at is not None and t > plant_at:
+                # ...then plant to double support once stopped
+                ctrl.set_gait(iface.task.gait_library["stance"], start_time=t + 0.1)
+                x_obs = np.asarray(ctrl.last_observation[1])
+                ctrl.set_target(
+                    stationary_target(t, x_obs, iface.command_config, iface.info.input_dim)
+                )
+                plant_at = None
             # stream the velocity command like a teleop publisher (the target
             # extrapolates from the *current* observation, so re-issue it)
             if trot_set and not stance_set and t > walk_from and t - last_retarget > 0.2:
@@ -84,8 +101,13 @@ def test_walk_cmd_vel_with_delay_and_stance_return():
                     )
                 )
                 last_retarget = t
-            # pace sim time to the background solver (main.cc CPU-sim sync)
-            ctrl.async_mpc.wait_until_fresh(t, max_staleness=0.15)
+            # pace sim time to the background solver (main.cc CPU-sim sync).
+            # 60 ms: with the fused replan the worker sustains ~45 Hz, so
+            # this barely throttles an idle host, but under full-suite CPU
+            # contention it keeps consumed policies fresh enough that the
+            # walk doesn't depend on scheduler luck (one suite-load flake
+            # observed at 150 ms staleness).
+            ctrl.async_mpc.wait_until_fresh(t, max_staleness=0.06)
             rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
             c = ctrl.update(t, rbd)
             assert np.all(np.isfinite(c.tau_ff))
