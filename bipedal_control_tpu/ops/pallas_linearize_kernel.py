@@ -211,7 +211,17 @@ def linearize_node_lanes(sm, tb, m_total, gain, integrator, nx, nu, x, u, x_next
     like = x[0:1]
     zero = jnp.zeros_like(like)
     one = jnp.ones_like(like)
-    zrow = lambda n: jnp.zeros((n,) + like.shape[1:], like.dtype)
+    # n == 0 -> None (filtered out before the concat): Mosaic rejects
+    # zero-size vectors even when dead, so they must never be created.
+    zrow = lambda n: jnp.zeros((n,) + like.shape[1:], like.dtype) if n > 0 else None
+
+    def diag_add(M, k, val):
+        """M with val added to row k — slice-concat form (Mosaic has no
+        scatter-add, and .at[k].add lowers to one even for a static k)."""
+        parts = ([M[:k]] if k > 0 else []) + [M[k : k + 1] + val]
+        if k + 1 < M.shape[0]:
+            parts.append(M[k + 1 :])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # ---- Jx blocks (flow Jacobian, block-sparse):
     #   rows 3:6, q cols:  Pq  = sum_i (J_ee[i] - dcom) x F_i / m   (3 x (nv,L))
@@ -266,7 +276,7 @@ def linearize_node_lanes(sm, tb, m_total, gain, integrator, nx, nu, x, u, x_next
             A_rows += [zrow(3 + r), one, zrow(2 - r), dt * Pq[r]]
         else:
             hc = jnp.concatenate([h * PM[r][c] for c in range(6)], axis=0)
-            hc = hc.at[3 + r].add(1.0)  # diagonal
+            hc = diag_add(hc, 3 + r, 1.0)  # diagonal
             A_rows += [hc, dt * Pq[r] + h * PN[r]]
     for r in range(6):  # v_b rows 6:12
         if h is None:
@@ -277,7 +287,7 @@ def linearize_node_lanes(sm, tb, m_total, gain, integrator, nx, nu, x, u, x_next
                 [dt * Mh_g[r][c] + h * NM[r][c] for c in range(6)], axis=0
             )
             qcols = dt * Nq[r] + h * (MP[r] + NN[r])
-        qcols = qcols.at[r].add(1.0)  # diagonal: col 6+r is q index r
+        qcols = diag_add(qcols, r, 1.0)  # diagonal: col 6+r is q index r
         A_rows += [hcols, qcols]
     for r in range(nj):  # v_j rows 12:: identity (their Jx rows are zero)
         A_rows += [zrow(12 + r), one, zrow(nx - 13 - r)]
@@ -413,7 +423,7 @@ def linearize_node_lanes(sm, tb, m_total, gain, integrator, nx, nu, x, u, x_next
         D_nv += [zrow(12)] + [swing * dv_ee_dvj[2][j] for j in range(nj)]
 
     out = A_rows + B_rows + c_rows + C_pc + C_nv + D_pc + D_nv + e_pc + e_nv
-    return out
+    return [r for r in out if r is not None]
 
 
 # ------------------------------------------------------------------ kernel
