@@ -98,6 +98,32 @@ class WbcConfig:
 
 
 @dataclasses.dataclass
+class CaptureConfig:
+    """Lateral capture-point step placement (authored extension — the
+    reference ships NO stepping balance; its line-footed robots OpenLoong and
+    Hunter were never closed-loop stepped, see tests/test_mujoco_openloong.py
+    docstring).  At every replan the swing leg's hip-roll joint *reference*
+    is offset by
+
+        dq = sign * clip(kp * e_y + kv * edot_y, +-max_offset)
+
+    with (e_y, edot_y) the body-frame lateral base-position / CoM-velocity
+    errors at the replan instant — i.e. the foot is steered toward the
+    instantaneous capture point p + sqrt(z/g) v (kv ~ sqrt(z0/g)/leg_len,
+    kp ~ 1/leg_len).  Applied per-node only where the leg is in swing, so
+    stance references are untouched and the MPC's own contact constraints
+    keep the planted foot where it landed."""
+
+    left_index: int  # hip-roll index within joint_names (left leg)
+    right_index: int
+    kp: float = 0.0  # rad per m of lateral base-position error
+    kv: float = 0.0  # rad per m/s of lateral CoM-velocity error
+    max_offset: float = 0.3  # rad clip on the reference offset
+    sign: float = 1.0  # +1 when +hip-roll moves the foot toward body +y
+    decay: float = 0.4  # [s] horizon decay of the offset (build_refs dq_decay)
+
+
+@dataclasses.dataclass
 class TaskConfig:
     """Everything task.info + reference.info + gait.info provide."""
 
@@ -136,6 +162,8 @@ class TaskConfig:
     # optional massless contact frames (name -> (parent link, xyz)) for robots
     # whose URDF lacks sole links (e.g. Unitree G1)
     extra_frames: dict = dataclasses.field(default_factory=dict)
+    # optional lateral capture stepping (captureStepping block, overrides.info)
+    capture: CaptureConfig | None = None
 
     @property
     def num_joints(self) -> int:
@@ -248,6 +276,26 @@ def load_task_config(
         weight_contact_force=info.get_scalar(t, "weight.contactForce", 0.01),
     )
 
+    capture = None
+    cap_node = info.get_node(t, "captureStepping")
+    if isinstance(cap_node, dict):
+        lname = info.get_string(t, "captureStepping.hipRollLeft", "")
+        rname = info.get_string(t, "captureStepping.hipRollRight", "")
+        if lname in joint_names and rname in joint_names:
+            capture = CaptureConfig(
+                left_index=joint_names.index(lname),
+                right_index=joint_names.index(rname),
+                kp=info.get_scalar(t, "captureStepping.kp", 0.0),
+                kv=info.get_scalar(t, "captureStepping.kv", 0.0),
+                max_offset=info.get_scalar(t, "captureStepping.maxOffset", 0.3),
+                sign=info.get_scalar(t, "captureStepping.sign", 1.0),
+                decay=info.get_scalar(t, "captureStepping.decay", 0.4),
+            )
+            print(
+                f"[config] captureStepping: {lname}/{rname} "
+                f"kp={capture.kp} kv={capture.kv}"
+            )
+
     extra_frames = {}
     ef_node = info.get_node(t, "extra_frames")
     if isinstance(ef_node, dict):
@@ -292,6 +340,7 @@ def load_task_config(
         target_displacement_velocity=info.get_scalar(r, "targetDisplacementVelocity", 0.5),
         target_rotation_velocity=info.get_scalar(r, "targetRotationVelocity", 0.3),
         extra_frames=extra_frames,
+        capture=capture,
     )
     # initial mode schedule + default gait template
     init_modes = [

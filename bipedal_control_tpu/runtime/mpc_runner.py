@@ -22,6 +22,26 @@ from ..solver.sqp import (
 from ..utils.timing import RepeatedTimer
 
 
+def capture_dq_from_state(cap, nj: int, x, x_ref):
+    """(2, nj) swing-leg joint-reference offsets from the measured lateral
+    error (config.loader.CaptureConfig semantics): rotate the world-frame
+    base-position / CoM-velocity errors into the body frame by the measured
+    yaw, form dq = sign * clip(kp e_y + kv edot_y, +-max_offset), and place
+    it on each leg's hip-roll slot.  Pure jnp (jittable inside the fused
+    replan)."""
+    yaw = x[9]
+    s, c = jnp.sin(yaw), jnp.cos(yaw)
+    pe = x[6:8] - x_ref[6:8]  # world base-position error
+    ve = x[0:2] - x_ref[0:2]  # world CoM-velocity error (h/m)
+    e_y = -s * pe[0] + c * pe[1]  # body-frame lateral components
+    edot_y = -s * ve[0] + c * ve[1]
+    dq = cap.sign * jnp.clip(
+        cap.kp * e_y + cap.kv * edot_y, -cap.max_offset, cap.max_offset
+    )
+    z = jnp.zeros(nj, x.dtype)
+    return jnp.stack([z.at[cap.left_index].set(dq), z.at[cap.right_index].set(dq)])
+
+
 class MpcRunner:
     """`solver` selects the replan backend: "sqp" (SqpMpc analogue, default)
     or "ilqr" (GaussNewtonDDP_MPC / BipedalRobotDdpMpcNode.cpp:70-72 analogue;
@@ -95,15 +115,28 @@ class MpcRunner:
         num_nodes = settings.num_intervals + 1
         from ..solver.sqp import warm_start_trajectories
 
+        cap = getattr(iface.task, "capture", None)
+        nj = info.nj
+
+        def _capture_dq(target, t_nodes, x_init):
+            """None when capture stepping is not configured."""
+            if cap is None:
+                return None
+            return capture_dq_from_state(cap, nj, x_init, target.state_at(t_nodes[0]))
+
+        decay = cap.decay if (cap is not None and cap.decay > 0) else None
+
         @jax.jit
         def _replan_cold(gait, swing, target, t_nodes, x_init):
-            refs = build_refs(info, gait, swing, target, t_nodes)
+            dq = _capture_dq(target, t_nodes, x_init)
+            refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
             xs, us = initial_trajectory(info, refs, x_init, num_nodes)
             return _solve(refs, t_nodes, x_init, xs, us)
 
         @jax.jit
         def _replan_warm(gait, swing, target, t_nodes, x_init, prev_t, prev_xs, prev_us):
-            refs = build_refs(info, gait, swing, target, t_nodes)
+            dq = _capture_dq(target, t_nodes, x_init)
+            refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
             xs, us = warm_start_trajectories(prev_t, prev_xs, prev_us, t_nodes)
             return _solve(refs, t_nodes, x_init, xs, us)
 

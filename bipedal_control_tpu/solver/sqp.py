@@ -272,12 +272,36 @@ def sqp_solve(
     )
 
 
-def build_refs(info: CentroidalModelInfo, gait_table, swing_table, target_table, t_nodes):
-    """Stacked NodeRefs for each interval (vmap over node times)."""
+def build_refs(info: CentroidalModelInfo, gait_table, swing_table, target_table, t_nodes,
+               dq_swing=None, dq_decay: float | None = None):
+    """Stacked NodeRefs for each interval (vmap over node times).
+
+    dq_swing: optional (2, nj) joint-reference offsets (row 0 = left leg,
+    row 1 = right leg) applied to x_nom's joint block at every node where
+    that leg is in swing — the capture-stepping hook (config.loader
+    CaptureConfig): touchdown placement is steered by biasing the swing-leg
+    hip-roll reference, while stance-node references stay untouched.
+    dq_decay: optional time constant [s]; the offset decays exp(-(t-t0)/tau)
+    along the horizon, so only the imminent touchdown is steered by the
+    *current* error — a constant offset a full horizon ahead over-corrects
+    errors that will be gone by then (measured limit cycle on OpenLoong)."""
     dts = t_nodes[1:] - t_nodes[:-1]
-    return jax.vmap(
-        lambda t, dt: make_node_refs(info, gait_table, swing_table, target_table, t, dt)
-    )(t_nodes[:-1], dts)
+    t0 = t_nodes[0]
+
+    def mk(t, dt):
+        r = make_node_refs(info, gait_table, swing_table, target_table, t, dt)
+        if dq_swing is not None:
+            f = r.contact_flags  # [l_toe, l_heel, r_toe, r_heel]
+            left_swing = 1.0 - jnp.maximum(f[0], f[1])
+            right_swing = 1.0 - jnp.maximum(f[2], f[3])
+            scale = 1.0 if dq_decay is None else jnp.exp(-jnp.maximum(t - t0, 0.0) / dq_decay)
+            x_nom = r.x_nom.at[12:].add(
+                scale * (left_swing * dq_swing[0] + right_swing * dq_swing[1])
+            )
+            r = r._replace(x_nom=x_nom)
+        return r
+
+    return jax.vmap(mk)(t_nodes[:-1], dts)
 
 
 def initial_trajectory(info: CentroidalModelInfo, refs: NodeRefs, x_init, num_nodes: int):

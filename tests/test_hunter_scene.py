@@ -65,8 +65,13 @@ def test_hunter_closed_loop_marginal_stance_safety(tmp_path):
     leave static stance marginal — a pure PD hold settles heel-pitched
     (-0.16 rad) and the closed loop tips within ~1-2 s under every tested
     bringup (drop-in, PD settle-then-handover, kp up to 150, stepping at
-    0.15-0.2 s cadences).  Stabilizing it needs capture-point step
-    placement (CLAUDE.md TODO).  This test pins what MUST work today: the
+    0.15-0.2 s cadences).  Lateral capture stepping (captureStepping in
+    overrides.info, wired 2026-08-21) does not rescue it either: the
+    collapse is SAGITTAL/vertical (base z 0.64 -> 0.29 within 0.6 s of a
+    standing_trot bringup, before lateral drift appears) — the 23.7 N m
+    uniform actuator limit leaves no knee authority for recovery, so the
+    next lever is a crouch-height/torque-budget redesign, not foot
+    placement.  This test pins what MUST work today: the
     cascade runs on Hunter, commands stay finite, and when the robot tips
     the safety stop engages and commands damping-only."""
     pytest.importorskip("mujoco")
