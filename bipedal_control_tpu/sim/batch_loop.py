@@ -127,6 +127,20 @@ def make_batched_closed_loop(
                 inputs=jnp.zeros((2, nu)),
             )
 
+    # lateral capture stepping on-device: same hook as the host fused replan
+    # (runtime/mpc_runner.py) — swing hip-roll references biased from the
+    # CURRENT episode observation at every replan inside the scan.  None for
+    # robots without a captureStepping block (e.g. H1): dead code, traced out.
+    from ..runtime.mpc_runner import capture_dq_from_state
+
+    cap = getattr(iface.task, "capture", None)
+    cap_decay = cap.decay if (cap is not None and cap.decay > 0) else None
+
+    def _cap_dq(tgt, t_nodes, x_obs):
+        if cap is None:
+            return None
+        return capture_dq_from_state(cap, info.nj, x_obs, tgt.state_at(t_nodes[0]))
+
     n_ticks = int(round(cfg.replan_dt / cfg.control_dt))
     n_sub = max(1, int(round(cfg.control_dt / cfg.sim.dt)))
     n_replans = int(round(cfg.duration / cfg.replan_dt))
@@ -163,7 +177,9 @@ def make_batched_closed_loop(
         t_nodes0 = grids[0]
         x_obs0 = obs(sim)
         tgt0 = retarget(0.0, x_obs0) if retarget is not None else target_t
-        refs0 = build_refs(info, gait_t, swing_t, tgt0, t_nodes0)
+        refs0 = build_refs(
+            info, gait_t, swing_t, tgt0, t_nodes0, _cap_dq(tgt0, t_nodes0, x_obs0), cap_decay
+        )
         xs0, us0 = initial_trajectory(info, refs0, x_obs0, N1)
         sol0 = sqp_solve(model, info, settings, Q, R, refs0, t_nodes0, x_obs0, xs0, us0)
 
@@ -173,7 +189,9 @@ def make_batched_closed_loop(
             t_nodes = grids[k]
             x_obs = obs(sim_state)
             tgt = retarget(t0, x_obs) if retarget is not None else target_t
-            refs = build_refs(info, gait_t, swing_t, tgt, t_nodes)
+            refs = build_refs(
+                info, gait_t, swing_t, tgt, t_nodes, _cap_dq(tgt, t_nodes, x_obs), cap_decay
+            )
             # re-align the previous solution onto the shifted grid (the host
             # path's warm_start_from_solution; without it every node's warm
             # start lags by one replan period)
