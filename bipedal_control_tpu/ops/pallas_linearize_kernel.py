@@ -24,10 +24,14 @@ batched XLA matmuls, exactly like the merit split.
 Semantics: linearize_node_structured with the default same-point RK2
 sensitivity (exact values, O(dt^2) Jacobians — Gauss-Newton fixed points
 unchanged); reference role: the CppAD-codegenned dynamics derivatives,
-BipedalRobotDynamicsAD.cpp:53-56.  Validated against
-linearize_node_structured in f64 interpret mode
-(tests/test_pallas_linearize_kernel.py); enabled via settings.linearize =
-"pallas" (TPU production path; CPU keeps the structured XLA path).
+BipedalRobotDynamicsAD.cpp:53-56.  CI oracle: both the bare lane circuit and
+the pallas_call wrapper (interpret mode) are compared against
+linearize_node_structured in f64 to 1e-9 on a small synthetic biped in
+tests/test_pallas_linearize_kernel.py (compiles in seconds on CPU; the
+oracle demonstrably fails on a 1e-6 math perturbation);
+tools/lin_kernel_oracle.py is the full-size H1 manual check (~15 min XLA CPU
+compile).  Enabled via settings.linearize = "pallas" (TPU production path;
+CPU keeps the structured XLA path).
 """
 from __future__ import annotations
 
