@@ -281,7 +281,15 @@ def load_task_config(
     if isinstance(cap_node, dict):
         lname = info.get_string(t, "captureStepping.hipRollLeft", "")
         rname = info.get_string(t, "captureStepping.hipRollRight", "")
-        if lname in joint_names and rname in joint_names:
+        if not (lname in joint_names and rname in joint_names):
+            # a present-but-misnamed block would otherwise silently disable
+            # the feature (advisor r3); fail loudly like other overrides
+            print(
+                "[config] WARNING: captureStepping block present but joint "
+                f"names {lname!r}/{rname!r} do not resolve against "
+                f"{list(joint_names)}; capture stepping DISABLED"
+            )
+        else:
             capture = CaptureConfig(
                 left_index=joint_names.index(lname),
                 right_index=joint_names.index(rname),

@@ -42,6 +42,21 @@ def capture_dq_from_state(cap, nj: int, x, x_ref):
     return jnp.stack([z.at[cap.left_index].set(dq), z.at[cap.right_index].set(dq)])
 
 
+def make_capture_hook(cap, nj: int):
+    """(dq_fn, decay) pair shared by the host fused replan and the on-device
+    batch loop.  dq_fn(target, t_nodes, x_obs) returns the (2, nj) swing
+    joint-reference offsets, or None when no captureStepping block is
+    configured (the hook traces out as dead code)."""
+
+    def dq_fn(target, t_nodes, x_obs):
+        if cap is None:
+            return None
+        return capture_dq_from_state(cap, nj, x_obs, target.state_at(t_nodes[0]))
+
+    decay = cap.decay if (cap is not None and cap.decay > 0) else None
+    return dq_fn, decay
+
+
 class MpcRunner:
     """`solver` selects the replan backend: "sqp" (SqpMpc analogue, default)
     or "ilqr" (GaussNewtonDDP_MPC / BipedalRobotDdpMpcNode.cpp:70-72 analogue;
@@ -116,15 +131,7 @@ class MpcRunner:
         from ..solver.sqp import warm_start_trajectories
 
         cap = getattr(iface.task, "capture", None)
-        nj = info.nj
-
-        def _capture_dq(target, t_nodes, x_init):
-            """None when capture stepping is not configured."""
-            if cap is None:
-                return None
-            return capture_dq_from_state(cap, nj, x_init, target.state_at(t_nodes[0]))
-
-        decay = cap.decay if (cap is not None and cap.decay > 0) else None
+        _capture_dq, decay = make_capture_hook(cap, info.nj)
 
         @jax.jit
         def _replan_cold(gait, swing, target, t_nodes, x_init):

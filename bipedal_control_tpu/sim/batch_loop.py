@@ -131,15 +131,10 @@ def make_batched_closed_loop(
     # (runtime/mpc_runner.py) — swing hip-roll references biased from the
     # CURRENT episode observation at every replan inside the scan.  None for
     # robots without a captureStepping block (e.g. H1): dead code, traced out.
-    from ..runtime.mpc_runner import capture_dq_from_state
+    from ..runtime.mpc_runner import make_capture_hook
 
     cap = getattr(iface.task, "capture", None)
-    cap_decay = cap.decay if (cap is not None and cap.decay > 0) else None
-
-    def _cap_dq(tgt, t_nodes, x_obs):
-        if cap is None:
-            return None
-        return capture_dq_from_state(cap, info.nj, x_obs, tgt.state_at(t_nodes[0]))
+    _cap_dq, cap_decay = make_capture_hook(cap, info.nj)
 
     n_ticks = int(round(cfg.replan_dt / cfg.control_dt))
     n_sub = max(1, int(round(cfg.control_dt / cfg.sim.dt)))

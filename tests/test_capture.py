@@ -100,7 +100,7 @@ def test_capture_dq_direction():
     x = x.at[1].set(-5.0)
     dq = capture_dq_from_state(cap, nj, x, x_ref)
     assert float(dq[0, 1]) == pytest.approx(-0.25, abs=1e-9)
-    # yaw rotation: at yaw = pi/2, a world -x velocity is body -y
+    # yaw rotation: at yaw = pi/2, a world +x velocity is body -y
     x2 = jnp.zeros(24).at[0].set(0.5).at[9].set(np.pi / 2)
     dq2 = capture_dq_from_state(cap, nj, x2, x_ref)
     assert float(dq2[0, 1]) == pytest.approx(-0.2, abs=1e-6)
