@@ -244,15 +244,18 @@ def make_batched_closed_loop(
     return jax.jit(run)
 
 
-def randomized_initial_states(iface: RobotInterface, batch: int, seed: int = 0):
+def randomized_initial_states(
+    iface: RobotInterface, batch: int, seed: int = 0, scale: float = 1.0
+):
     """Domain-randomized initial conditions around the task initial state:
     base position/orientation jitter + joint perturbations (the scenario
-    axis of BASELINE config 5)."""
+    axis of BASELINE config 5).  ``scale`` multiplies every jitter range
+    (survival-vs-jitter sweeps, tools/scenario_survival.py)."""
     rng = np.random.default_rng(seed)
     x0 = np.asarray(iface.initial_state)
     X = np.tile(x0, (batch, 1))
-    X[:, 6:8] += rng.uniform(-0.05, 0.05, (batch, 2))  # base xy
-    X[:, 8] += rng.uniform(-0.01, 0.02, batch)  # base z
-    X[:, 9:12] += rng.uniform(-0.05, 0.05, (batch, 3))  # yaw/pitch/roll
-    X[:, 12:] += rng.uniform(-0.05, 0.05, (batch, x0.shape[0] - 12))  # joints
+    X[:, 6:8] += scale * rng.uniform(-0.05, 0.05, (batch, 2))  # base xy
+    X[:, 8] += scale * rng.uniform(-0.01, 0.02, batch)  # base z
+    X[:, 9:12] += scale * rng.uniform(-0.05, 0.05, (batch, 3))  # yaw/pitch/roll
+    X[:, 12:] += scale * rng.uniform(-0.05, 0.05, (batch, x0.shape[0] - 12))
     return jnp.asarray(X)

@@ -169,6 +169,43 @@ def test_batched_cascade_walks(h1):
     assert np.isfinite(float(res.defect_last[0]))
 
 
+def test_batched_cascade_walks_randomized(h1):
+    """Domain-randomized batched WALKING with a survival-rate assertion
+    (VERDICT r3 next-step #4): the BASELINE config-5 scenario axis was
+    previously only exercised in stance.  B=8 randomized initial states
+    (base pose + joint jitter, sim/batch_loop.py::randomized_initial_states)
+    walk the full on-device cascade for 3 s at cmd 0.3; survival = upright
+    (final z > 0.8, tilt < 0.8) AND progressed (x > 0.3*cmd*T).  The
+    committed survival-vs-jitter artifact at B=64 on the real chip is
+    SCENARIOS_r04.json (tools/scenario_survival.py).  Measured population
+    rates (2026-08-21): 62.5% in f64 on CPU (B=32), only ~27% in f32 on the
+    chip (precision-driven — see the artifact note); this deterministic
+    fixed-seed f64 test asserts >= 1/2."""
+    from bipedal_control_tpu.sim.batch_loop import (
+        BatchLoopConfig,
+        make_batched_closed_loop,
+        randomized_initial_states,
+    )
+
+    iface = dataclasses.replace(
+        h1, settings=dataclasses.replace(h1.settings, dt=0.02, sqp_iterations=1)
+    )
+    run = make_batched_closed_loop(
+        iface, BatchLoopConfig(duration=3.0), gait="trot", gait_at=0.2,
+        cmd_vel=(0.3, 0.0, 0.0, 0.0),
+    )
+    X = randomized_initial_states(iface, 8, seed=7)
+    res = run(X)
+    q = np.asarray(res.final_state.q)
+    upright = (q[:, 2] > 0.8) & (np.asarray(res.tilt_max) < 0.8)
+    progressed = q[:, 0] > 0.3 * 0.3 * 3.0
+    survival = np.mean(upright & progressed)
+    assert survival >= 0.5, (
+        f"survival {survival:.2f}; z={q[:, 2].round(2)}, x={q[:, 0].round(2)}, "
+        f"tilt={np.asarray(res.tilt_max).round(2)}"
+    )
+
+
 def test_batched_cascade_lateral_and_yaw(h1):
     """cmd_vel envelope beyond forward walking, on device: a lateral
     command moves the batch sideways and a forward+yaw command arcs it,
