@@ -212,7 +212,17 @@ def load_task_config(
     t = info.load_info(task_file)
     r = info.load_info(reference_file)
     if overrides_file and os.path.exists(overrides_file):
-        applied = _merge_overrides(t, info.load_info(overrides_file))
+        ov = info.load_info(overrides_file)
+        # a top-level `reference { ... }` block overlays the COMMAND
+        # reference tree (comHeight / defaultJointState / ...) instead of the
+        # task tree — needed where the authored stance pose differs from the
+        # reference's (e.g. Hunter's equilibrium leg-tilt trim)
+        ref_ov = ov.pop("reference", None)
+        applied = _merge_overrides(t, ov)
+        if isinstance(ref_ov, dict):
+            applied += [
+                f"reference.{line}" for line in _merge_overrides(r, ref_ov)
+            ]
         for line in applied:
             print(f"[config] override ({os.path.basename(overrides_file)}): {line}")
 

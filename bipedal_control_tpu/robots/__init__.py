@@ -59,6 +59,7 @@ REGISTRY: dict[str, RobotAssets] = {
         reference_info=_example("hunter/legged_hunter_config/config/command/reference.info"),
         gait_info=_example("hunter/legged_hunter_config/config/command/gait.info"),
         overrides_info=_local_config("hunter/overrides.info"),
+        extra_gait_info=_local_config("hunter/extra_gaits.info"),
     ),
     "openloong": RobotAssets(
         name="openloong",

@@ -84,12 +84,45 @@ def build_mjcf_scene_from_urdf(
     assert base is not None, "URDF import produced no root body"
     ET.SubElement(base, "freejoint", {"name": "float_base"})
     ET.SubElement(base, "site", {"name": "imu", "size": "0.01", "pos": "0 0 0"})
-    # inflate foot contact spheres
+    # Foot contact geometry must be CONSISTENT with the planner's contact
+    # frames: the OCP's stance rows regulate the contact-frame origin to
+    # z = 0 (positionErrorGain * p_z in the zero-velocity rows — Hunter's
+    # task.info sets gain 20), so the plant must put the frame origin AT the
+    # ground when standing.  Two adjustments:
+    # - each contact sphere is inflated to a numerically sane radius and its
+    #   center is raised by that radius, so the sphere's BOTTOM (the touch
+    #   point) coincides with the frame origin;
+    # - any collision geom on the foot's parent body (Hunter's sole box on
+    #   leg_*5_link, which extends 4 mm BELOW the sphere bottoms) is made
+    #   non-colliding — standing on the box leaves the model's contact
+    #   frames permanently ~1.2 cm above ground, which the gain turns into a
+    #   constant push-feet-down demand that launches the robot (measured:
+    #   pitch -1.6 rad/s^2 from t=0, base z +0.21 m in 0.2 s).
+    foot_parents = set()
     for body in root.iter("body"):
-        if foot_link_substr in body.get("name", ""):
+        for child in body.findall("body"):
+            if foot_link_substr in child.get("name", ""):
+                foot_parents.add(body.get("name", ""))
+    for body in root.iter("body"):
+        name = body.get("name", "")
+        if foot_link_substr in name:
             for geom in body.findall("geom"):
                 if geom.get("type", "sphere") == "sphere":
                     geom.set("size", str(foot_radius))
+                    geom.set("pos", f"0 0 {foot_radius}")
+                    # Explicit stiff contact: MuJoCo's default soft-constraint
+                    # stiffness scales with the contacting body's inertia, and
+                    # the URDF's gram-scale toe/heel links otherwise yield
+                    # ~12 mm rest penetration — a soft series spring that
+                    # drops the stance pitch stiffness below m*g*h and tips
+                    # the robot even under a pure PD hold.
+                    geom.set("solref", "0.004 1")
+                    geom.set("solimp", "0.95 0.99 0.001")
+                    geom.set("friction", "1.0 0.3 0.01")
+        elif name in foot_parents:
+            for geom in body.findall("geom"):
+                geom.set("contype", "0")
+                geom.set("conaffinity", "0")
     # actuators
     actuators = ET.SubElement(root, "actuator")
     for j in joint_names:

@@ -57,26 +57,34 @@ def test_hunter_scene_builds_and_steps(tmp_path):
     assert flags.shape == (4,) and flags.max() == 1.0
 
 
-def test_hunter_closed_loop_marginal_stance_safety(tmp_path):
-    """Hunter through the FULL controller cascade in physics (first closed
-    loop on this robot — the reference never ran Hunter either).  Measured
-    (2026-08-21 sweeps; tools in git history): model CoM == MuJoCo CoM to
-    1e-4, the MPC solves cleanly (defect 4e-4), but the 9 cm line feet
-    leave static stance marginal — a pure PD hold settles heel-pitched
-    (-0.16 rad) and the closed loop tips within ~1-2 s under every tested
-    bringup (drop-in, PD settle-then-handover, kp up to 150, stepping at
-    0.15-0.2 s cadences).  Lateral capture stepping (captureStepping in
-    overrides.info, wired 2026-08-21) does not rescue it either: the
-    collapse is SAGITTAL/vertical (base z 0.64 -> 0.29 within 0.6 s of a
-    standing_trot bringup, before lateral drift appears) — the 23.7 N m
-    uniform actuator limit leaves no knee authority for recovery, so the
-    next lever is a crouch-height/torque-budget redesign, not foot
-    placement.  This test pins what MUST work today: the
-    cascade runs on Hunter, commands stay finite, and when the robot tips
-    the safety stop engages and commands damping-only."""
+def test_hunter_stands_closed_loop(tmp_path):
+    """Hunter holds an UPRIGHT closed-loop stance through the full cascade
+    (VERDICT r3 next-step #3 — previously the only robot with no upright
+    demo).  Four round-4 findings unlocked it, each load-bearing:
+
+    1. Contact-geometry consistency (sim/urdf_mjcf.py): the robot must
+       stand on the toe/heel spheres with their BOTTOM at the contact-frame
+       origin, not on the sole box 4 mm below them.
+    2. Stiff contact (solref 0.004): MuJoCo's default soft-constraint
+       stiffness scales with the gram-scale toe-link inertias, giving
+       ~12 mm rest penetration — a soft series spring that drops stance
+       pitch stiffness below m*g*h, tipping even a pure PD hold.
+    3. Config overrides (configs/hunter/overrides.info, each documented
+       in place): equilibrium leg-tilt trim (CoM over the sphere support
+       midpoint), positionErrorGain 20 -> 0 (the measured launch feedback),
+       and H1-style L_x/L_y weights (13 -> 5000; with angular momentum
+       nearly free the MPC corrects pose errors with violent pitch plans).
+    4. PD-settle bringup (0.4 s hold, then handover): the drop-in contact
+       transient alone is enough to wind up the replan loop on line feet.
+
+    Result (measured 2026-08-21): pitch converges to +1e-4, z 0.627,
+    |x-drift| < 5 mm over 4 s.  Stepping gaits still launch at the first
+    lift-off (z +0.13 at liftoff; open item, documented in git history).
+    The 23.7 N m torque cap is NOT the blocker — static stance needs only
+    ~5 N m at the knee (torque analysis in the round-4 work log)."""
     pytest.importorskip("mujoco")
     from bipedal_control_tpu.interface import make_interface_for
-    from bipedal_control_tpu.runtime.controller import BipedalController
+    from bipedal_control_tpu.runtime.controller import BipedalController, JointCommand
     from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
     from bipedal_control_tpu.sim.urdf_mjcf import build_mjcf_scene_from_urdf
 
@@ -85,29 +93,59 @@ def test_hunter_closed_loop_marginal_stance_safety(tmp_path):
         URDF, list(iface.task.joint_names), out_path=str(tmp_path / "hunter_scene.xml")
     )
     sim = MujocoSimBackend(scene, list(iface.task.joint_names), MujocoSimConfig())
-    x0 = iface.initial_state
+    x0 = np.asarray(iface.initial_state)
+    nj = iface.info.nj
     sim.reset(
-        base_pos=x0[6:9] + np.array([0.0, 0.0, 0.006]),
+        base_pos=np.array([x0[6], x0[7], 0.6295]),
         base_quat_wxyz=np.array([1.0, 0, 0, 0]),
         joint_pos=x0[12:],
     )
+    hold = JointCommand(
+        pos_des=x0[12:], vel_des=np.zeros(nj),
+        kp=np.full(nj, 120.0), kd=np.full(nj, 4.0), tau_ff=np.zeros(nj),
+    )
+    for _ in range(400):  # 0.4 s PD settle into clean 4-point contact
+        sim.apply_command(hold)
+        sim.step(1)
     ctrl = BipedalController(iface)
     ctrl.starting(sim.time, sim.rbd_state())
     control_dt = 1.0 / 500.0
     substeps = max(1, int(round(control_dt / sim.timestep)))
-    ticks_ok = 0
     for _ in range(int(3.0 / control_dt)):
         rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
         cmd = ctrl.update(sim.time, rbd)
         assert np.all(np.isfinite(cmd.tau_ff))
-        if ctrl.safe:
-            ticks_ok += 1
-        else:
-            # safety stop: damping-only command (zero stiffness/feedforward)
-            assert np.all(cmd.tau_ff == 0.0) and np.all(cmd.kp == 0.0)
-            assert np.all(cmd.kd > 0.0)
-            break
         sim.apply_command(cmd)
         sim.step(substeps)
-    # the loop genuinely ran before any stop (>= 0.3 s of control)
-    assert ticks_ok >= int(0.3 / control_dt), ticks_ok
+        if not ctrl.safe:
+            break
+    pos = sim.ground_truth()[0]
+    rbd = sim.rbd_state()
+    assert ctrl.safe, f"safety stop at t={sim.time:.2f}, base at {pos}"
+    assert pos[2] > 0.6, pos
+    assert abs(rbd[1]) < 0.05 and abs(rbd[2]) < 0.05, rbd[:3]
+    assert abs(pos[0]) < 0.1 and abs(pos[1]) < 0.1, pos
+
+
+def test_hunter_safety_stop_semantics():
+    """Safety-stop command semantics, pinned deterministically: a tipped
+    observation (beyond the tilt limit) must latch safe=False and command
+    damping-only (zero stiffness, zero feedforward, positive kd) —
+    BipedalController's safety path without needing a physical fall."""
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.runtime.controller import BipedalController
+
+    iface = make_interface_for("hunter")
+    ctrl = BipedalController(iface)
+    nj = iface.info.nj
+    x0 = np.asarray(iface.initial_state)
+    rbd0 = np.zeros(2 * (6 + nj))
+    rbd0[3:6] = x0[6:9]
+    rbd0[6 : 6 + nj] = x0[12:]
+    ctrl.starting(0.0, rbd0)
+    tipped = rbd0.copy()
+    tipped[1] = 1.2  # pitch far beyond the tilt limit
+    cmd = ctrl.update(0.002, tipped)
+    assert not ctrl.safe
+    assert np.all(cmd.tau_ff == 0.0) and np.all(cmd.kp == 0.0)
+    assert np.all(cmd.kd > 0.0)
