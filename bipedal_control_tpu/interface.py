@@ -102,6 +102,16 @@ def ocp_settings_from_task(task) -> OcpSettings:
             cone_mu_decay=task.ipm.decrease_factor,
             cone_mu_final=task.ipm.target_barrier,
         )
+    # the same ipm block drives the primal-dual path when the user selects
+    # cone="ipm" (dataclasses.replace on settings): central-path schedule +
+    # fraction-to-boundary margin straight from task.info:86-156
+    settings = _dc.replace(
+        settings,
+        ipm_mu_init=max(task.ipm.initial_barrier, task.ipm.target_barrier),
+        ipm_mu_target=task.ipm.target_barrier,
+        ipm_mu_decay=task.ipm.decrease_factor,
+        ipm_fraction_to_boundary=task.ipm.fraction_to_boundary,
+    )
     return settings
 
 

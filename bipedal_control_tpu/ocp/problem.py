@@ -59,10 +59,27 @@ class OcpSettings:
     # satisfy the cone to ~cone_delta_final (the hard-inequality path the
     # reference configures via task.info's ipm block and
     # useAnalyticalGradientsConstraints, FrictionConeConstraint.cpp:59-206).
+    # "ipm" runs a PRIMAL-DUAL interior point on the friction cones:
+    # explicit per-node slack/dual iterates (s, lambda > 0), condensed
+    # Newton terms on the stage quadratics, fraction-to-boundary step caps,
+    # and a geometric central-path schedule mu_init -> mu_target — the
+    # reference's ocs2 ipm solver role (task.info:86-156), driven by the
+    # parsed IpmConfig (config/loader.py).
     cone: str = "soft"
     cone_mu_decay: float = 0.25
     cone_mu_final: float = 1e-3
     cone_delta_final: float = 1e-2
+    # cone="ipm" knobs (defaults mirror the reference's ipm block)
+    ipm_mu_init: float = 1e-2  # ipm.initialBarrierParameter
+    ipm_mu_target: float = 1e-4  # ipm.targetBarrierParameter
+    ipm_mu_decay: float = 0.2  # ipm.barrierLinearDecreaseFactor
+    ipm_fraction_to_boundary: float = 0.995  # ipm.fractionToBoundaryMargin
+    # ipm.usePrimalStepSizeForDual — False (OCS2's default) is load-bearing
+    # for infeasible starts: the primal step is fraction-to-boundary-capped
+    # while the cone gap is open, so the duals must take their own (full,
+    # lambda-FTB-capped) steps to grow and push the primal back inside;
+    # tying them to the primal step stalls at ~0 step size (measured).
+    ipm_dual_step_from_primal: bool = False
     gripper_force: float = 0.0
     position_error_gain: float = 0.0  # model_settings.positionErrorGain
     integrator: str = "rk2"  # euler | rk2 | rk4
@@ -178,6 +195,29 @@ def friction_cone_values(settings: OcpSettings, u, info: CentroidalModelInfo):
         forces[:, 0] ** 2 + forces[:, 1] ** 2 + settings.cone_regularization
     )
     return settings.friction_coefficient * (forces[:, 2] + settings.gripper_force) - f_tangent
+
+
+def friction_cone_grads_u(settings: OcpSettings, u, info: CentroidalModelInfo):
+    """(nc, nu) analytic gradient of friction_cone_values wrt the input:
+    each cone depends only on its contact's force slots —
+    d h_i / d F_i = [-Fx/f_tan, -Fy/f_tan, mu]."""
+    forces = get_contact_forces(u, info)
+    nc = forces.shape[0]
+    f_tan = jnp.sqrt(
+        forces[:, 0] ** 2 + forces[:, 1] ** 2 + settings.cone_regularization
+    )
+    g3 = jnp.stack(
+        [
+            -forces[:, 0] / f_tan,
+            -forces[:, 1] / f_tan,
+            jnp.full((nc,), settings.friction_coefficient, forces.dtype),
+        ],
+        axis=1,
+    )  # (nc, 3)
+    G = jnp.zeros((nc, u.shape[-1]), u.dtype)
+    rows = jnp.repeat(jnp.arange(nc), 3)
+    cols = (3 * jnp.arange(nc)[:, None] + jnp.arange(3)[None, :]).reshape(-1)
+    return G.at[rows, cols].set(g3.reshape(-1))
 
 
 def relaxed_barrier(h, mu, delta):

@@ -48,6 +48,10 @@ class SqpSolution(NamedTuple):
     defect_norm: jnp.ndarray  # () l1 dynamics defect
     eq_norm: jnp.ndarray  # () l1 equality residual
     step_size: jnp.ndarray  # () accepted line-search step
+    # cone="ipm" extras (None otherwise): per-node friction-cone slack and
+    # dual iterates at the returned primal point
+    cone_slack: jnp.ndarray | None = None  # (N, nc)
+    cone_dual: jnp.ndarray | None = None  # (N, nc)
 
 
 def eq_mask_from_flags(contact_flags):
@@ -154,6 +158,7 @@ def sqp_solve(
     x_init,  # (nx,) measured initial state
     x_warm,  # (N+1, nx) warm-start state trajectory
     u_warm,  # (N, nu)
+    cone_warm=None,  # cone="ipm": optional (s, lam) warm start, (N, nc) each
 ) -> SqpSolution:
     """Run `settings.sqp_iterations` Gauss-Newton iterations."""
 
@@ -165,10 +170,16 @@ def sqp_solve(
         """cone="hard": interior-point continuation — shrink the barrier's mu
         and relaxed switch point delta geometrically per (statically
         unrolled) SQP iteration, so late iterations solve an almost-true log
-        barrier and the result respects the cone to ~cone_delta_final."""
+        barrier and the result respects the cone to ~cone_delta_final.
+        cone="ipm": the cone enters through the primal-dual condensed terms
+        added to the stage quadratics below, so the soft barrier is disabled
+        (barrier_mu=0 zeroes every relaxed-barrier contribution)."""
+        import dataclasses as _dc
+
+        if settings.cone == "ipm":
+            return _dc.replace(settings, barrier_mu=0.0)
         if settings.cone != "hard":
             return settings
-        import dataclasses as _dc
 
         decay = settings.cone_mu_decay**it
         return _dc.replace(
@@ -204,14 +215,80 @@ def sqp_solve(
         lqr = lambda n, m, dx0: solve_lqr_parallel_sqrt(n, m, dx0, settings.riccati_penalty)
     else:
         lqr = solve_lqr
+    # --- cone="ipm": primal-dual slack/dual state (OCS2 ipm role).  Per
+    # node and stance cone: s > 0 slack, lam > 0 dual, central path
+    # s*lam -> mu with mu marching ipm_mu_init -> ipm_mu_target across the
+    # (statically unrolled) iterations.  All masking is static-shape: swing
+    # cones carry benign (1, mu) iterates and zero condensed weight.
+    ipm = settings.cone == "ipm"
+    if ipm:
+        from ..ocp.problem import friction_cone_grads_u, friction_cone_values
+
+        cone_act = refs.contact_flags > 0.5  # (N, nc)
+        mu_ipm = settings.ipm_mu_init
+        if cone_warm is not None:
+            s_ipm, lam_ipm = cone_warm
+        else:
+            g_w = jax.vmap(lambda u: friction_cone_values(settings, u, info))(us)
+            s_ipm = jnp.where(cone_act, jnp.maximum(g_w, 1e-2), 1.0)
+            lam_ipm = jnp.where(cone_act, mu_ipm / s_ipm, mu_ipm)
+    else:
+        s_ipm = lam_ipm = None
+
     gains = None
     for _it in range(settings.sqp_iterations):
         settings_it = _iter_settings(_it)
         nodes = _lin_fn(settings_it)(xs[:-1], us, xs[1:], refs)
+        if ipm:
+            # condensed primal-dual Newton terms on the stage quadratics:
+            #   Quu += sum_j w_j (lam_j/s_j) G_j G_j^T
+            #   qu  -= sum_j w_j (mu/s_j - (lam_j/s_j)(g_j - s_j)) G_j
+            # (dt-scaled like every other stage cost term)
+            g_ipm = jax.vmap(lambda u: friction_cone_values(settings, u, info))(us)
+            G_ipm = jax.vmap(lambda u: friction_cone_grads_u(settings, u, info))(us)
+            w_ipm = refs.dt[:, None] * refs.contact_flags  # (N, nc)
+            sig = lam_ipm / s_ipm
+            Quu_pd = jnp.einsum("nc,ncu,ncv->nuv", w_ipm * sig, G_ipm, G_ipm)
+            qu_pd = -jnp.einsum(
+                "nc,ncu->nu",
+                w_ipm * (mu_ipm / s_ipm - sig * (g_ipm - s_ipm)),
+                G_ipm,
+            )
+            nodes = nodes._replace(Quu=nodes.Quu + Quu_pd, qu=nodes.qu + qu_pd)
         sol = lqr(nodes, masks, dx0=jnp.zeros_like(x_init))
         gains = sol.K
 
         alphas = jnp.asarray(settings.linesearch_alphas)
+        if ipm:
+            # slack/dual Newton directions recovered from du, then the
+            # fraction-to-boundary rule caps every primal step candidate
+            ds_ipm = jnp.einsum("ncu,nu->nc", G_ipm, sol.du) + (g_ipm - s_ipm)
+            dlam_ipm = (mu_ipm - s_ipm * lam_ipm) / s_ipm - sig * ds_ipm
+            frac = settings.ipm_fraction_to_boundary
+
+            def _max_step(v, dv):
+                r = jnp.where(
+                    jnp.logical_and(cone_act, dv < 0),
+                    -frac * v / jnp.minimum(dv, -1e-12),
+                    jnp.inf,
+                )
+                return jnp.minimum(1.0, jnp.min(r))
+
+            a_s_max = _max_step(s_ipm, ds_ipm)
+            a_lam_max = _max_step(lam_ipm, dlam_ipm)
+            alphas = jnp.minimum(alphas, a_s_max)
+
+            def _cone_viol(a):
+                """Primal cone residual ||g(u_a) - s_a||^2 on active cones —
+                the IPM term of the filter's violation channel.  Without it
+                a feasibility-restoring step from a cost-converged warm
+                start is always rejected as a cost increase (measured: the
+                filter pins step_size to 0 and the cone stays violated)."""
+                g_a = jax.vmap(lambda u: friction_cone_values(settings, u, info))(
+                    us + a * sol.du
+                )
+                s_a = s_ipm + a * ds_ipm
+                return jnp.sum(refs.contact_flags * (g_a - s_a) ** 2)
 
         if settings.merit == "pallas":
             from ..ops.pallas_merit import make_merit_sums
@@ -246,6 +323,9 @@ def sqp_solve(
         e_masked = masks * nodes.e
         cost0 = jnp.sum(nodes.cost)
         viol0 = jnp.sum(nodes.c**2) + jnp.sum(e_masked**2)
+        if ipm:
+            viols_a = viols_a + jax.vmap(_cone_viol)(alphas)
+            viol0 = viol0 + jnp.sum(refs.contact_flags * (g_ipm - s_ipm) ** 2)
         d1_0 = jnp.sum(jnp.abs(nodes.c))
         e1_0 = jnp.sum(jnp.abs(e_masked))
         accepted = _filter_accept(cost0, viol0, costs_a, viols_a)
@@ -258,6 +338,15 @@ def sqp_solve(
         cost = jnp.where(any_ok, costs_a[idx], cost0)
         defect = jnp.where(any_ok, d1_a[idx], d1_0)
         eq = jnp.where(any_ok, e1_a[idx], e1_0)
+        if ipm:
+            a_dual = (
+                step_size
+                if settings.ipm_dual_step_from_primal
+                else jnp.where(any_ok, a_lam_max, 0.0)
+            )
+            s_ipm = jnp.maximum(s_ipm + step_size * ds_ipm, 1e-10)
+            lam_ipm = jnp.maximum(lam_ipm + a_dual * dlam_ipm, 1e-10)
+            mu_ipm = max(settings.ipm_mu_target, mu_ipm * settings.ipm_mu_decay)
     # Feedback gains from the last QP (real-time-iteration practice: OCS2
     # likewise publishes the gains of the QP it just solved).
     return SqpSolution(
@@ -269,6 +358,8 @@ def sqp_solve(
         defect_norm=defect,
         eq_norm=eq,
         step_size=step_size,
+        cone_slack=s_ipm,
+        cone_dual=lam_ipm,
     )
 
 
