@@ -161,6 +161,76 @@ def cmd_vel_to_target_trajectories(
     return traj
 
 
+@dataclasses.dataclass
+class CmdVelFollower:
+    """Closed-loop /cmd_vel target publisher with velocity-integral trim.
+
+    Per-observation retargeting (anchor the reference at the CURRENT
+    observation every ``retarget_period``) is what stabilizes the lateral
+    axis on short-footed robots (round-3 result: a fixed target integrates
+    base-y error until the capture correction overshoots).  Its cost is that
+    position error never accumulates, so the steady braking impulse of every
+    touchdown shows up as a permanent forward-velocity deficit — G1 and
+    OpenLoong measured ~40-60% of command.  This follower closes that loop
+    with integral action on the VELOCITY error (not position, which would
+    re-introduce the lateral runaway): the commanded forward speed is
+    trimmed by ki * integral(cmd - v_meas) dt, clamped to
+    ``trim_frac_max * |cmd|``, where v_meas is the measured body-frame
+    forward velocity from the observation's normalized-momentum slots.
+
+    Role: the closed-loop analogue of the reference's open-loop cmd_vel
+    relay (TargetTrajectoriesPublisher.cpp:77-100 has no feedback; its robot
+    undertracks the same way)."""
+
+    cmd_vel: np.ndarray  # (4,) body-frame [vx, vy, vz, yaw_rate]
+    cfg: CommandConfig
+    input_dim: int
+    ki: float = 1.2  # 1/s integral gain on the forward-velocity error
+    trim_frac_max: float = 1.0  # |trim| <= trim_frac_max * |cmd_vx|
+    retarget_period: float = 0.25
+
+    # NOTE: trimming the LATERAL axis the same way was tried and rejected —
+    # on OpenLoong the lateral dynamics carry a slow (~2 s) rocking mode,
+    # and a velocity-integral trim chases it into a growing oscillation that
+    # fells the robot at ~4.7 s (measured 2026-08-21, ki_lat 0.8).  Forward
+    # trim is safe because the sagittal axis is stride-stabilized.
+
+    def __post_init__(self):
+        self.cmd_vel = np.asarray(self.cmd_vel, dtype=float)
+        self._trim = 0.0
+        self._last_t = None
+        self._next_retarget = None
+
+    @property
+    def trim(self) -> float:
+        return self._trim
+
+    def update(self, t_obs: float, x_obs: np.ndarray):
+        """Advance the trim integrator and, at the retarget cadence, return a
+        fresh TargetTrajectories anchored at the observation (None between
+        retargets).  Call once per control tick with the latest observation."""
+        x_obs = np.asarray(x_obs)
+        if self._last_t is not None and t_obs > self._last_t:
+            dt = t_obs - self._last_t
+            yaw = x_obs[9]
+            v_fwd = np.cos(yaw) * x_obs[0] + np.sin(yaw) * x_obs[1]
+            lim = self.trim_frac_max * abs(self.cmd_vel[0])
+            self._trim = float(
+                np.clip(self._trim + self.ki * (self.cmd_vel[0] - v_fwd) * dt, -lim, lim)
+            )
+        self._last_t = t_obs
+        if self._next_retarget is None:
+            self._next_retarget = t_obs
+        if t_obs + 1e-9 < self._next_retarget:
+            return None
+        self._next_retarget += self.retarget_period
+        cmd = self.cmd_vel.copy()
+        cmd[0] += self._trim
+        return cmd_vel_to_target_trajectories(
+            cmd, t_obs, x_obs, self.cfg, self.input_dim
+        )
+
+
 def stationary_target(
     observation_time: float,
     observation_state: np.ndarray,

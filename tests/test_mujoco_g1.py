@@ -99,16 +99,18 @@ def test_g1_standing_trot():
 
 
 def test_g1_walks_at_cmd_vel():
-    """G1 WALKS at commanded velocity in physics (authored configs; the
-    reference never ran G1 at all): standing_trot + cmd_vel 0.2 retargeted
-    from the current observation every 0.25 s covers ~0.39 m in 5 s, base z
-    rock-stable at 0.66, lateral excursion < 0.11 m (measured 2026-08-21).
-    Effective speed is ~half the command — standing_trot's 0.10 s swing
-    limits stride — but progress is steady and upright.  Same retarget
-    semantics as TargetTrajectoriesPublisher.cpp:77-100."""
+    """G1 WALKS and TRACKS commanded velocity in physics (authored configs;
+    the reference never ran G1 at all): standing_trot + CmdVelFollower at
+    cmd 0.2 m/s — per-observation retargeting every 0.25 s (the round-3
+    lateral stabilizer) plus the round-4 velocity-integral trim, which
+    cancels the steady touchdown-braking deficit that capped the plain
+    retarget loop at ~39% of command.  Measured 2026-08-21: 0.89 m in 6 s,
+    v_avg 0.174 = 87% of command, z rock-stable 0.66, |y| < 0.12.
+    Asserted: |v_avg - cmd| <= 30% of cmd (VERDICT r3 next-step #2).
+    Open-loop reference analogue: TargetTrajectoriesPublisher.cpp:77-100."""
     pytest.importorskip("mujoco")
     from bipedal_control_tpu.interface import make_interface_for
-    from bipedal_control_tpu.reference.target import cmd_vel_to_target_trajectories
+    from bipedal_control_tpu.reference.target import CmdVelFollower
     from bipedal_control_tpu.runtime.controller import BipedalController
     from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
 
@@ -129,18 +131,21 @@ def test_g1_walks_at_cmd_vel():
     ctrl.set_gait(iface.task.gait_library["standing_trot"], start_time=sim.time + 0.6)
     control_dt = 1.0 / 500.0
     substeps = max(1, int(round(control_dt / sim.timestep)))
-    next_retarget = 0.8
-    for _ in range(int(5.0 / control_dt)):
+    cmd_vx = 0.2
+    follower = CmdVelFollower(
+        np.array([cmd_vx, 0.0, 0.0, 0.0]), iface.command_config,
+        iface.info.input_dim, ki=1.2,
+    )
+    t_walk0, x_walk0 = None, None
+    for _ in range(int(6.0 / control_dt)):
         rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
-        if sim.time >= next_retarget:
+        if sim.time >= 0.8:
             t_obs, x_obs = ctrl.last_observation
-            ctrl.set_target(
-                cmd_vel_to_target_trajectories(
-                    np.array([0.2, 0.0, 0.0, 0.0]), t_obs, x_obs,
-                    iface.command_config, iface.info.input_dim,
-                )
-            )
-            next_retarget += 0.25
+            traj = follower.update(t_obs, x_obs)
+            if traj is not None:
+                ctrl.set_target(traj)
+            if t_walk0 is None:
+                t_walk0, x_walk0 = sim.time, sim.ground_truth()[0][0]
         cmd = ctrl.update(sim.time, rbd)
         assert np.all(np.isfinite(cmd.tau_ff))
         sim.apply_command(cmd)
@@ -150,5 +155,8 @@ def test_g1_walks_at_cmd_vel():
     pos = sim.ground_truth()[0]
     assert ctrl.safe, f"safety stop at t={sim.time:.2f}, base at {pos}"
     assert pos[2] > 0.6, pos
-    assert pos[0] > 0.25, f"walked only {pos[0]:.2f} m"
+    v_avg = (pos[0] - x_walk0) / (sim.time - t_walk0)
+    assert abs(v_avg - cmd_vx) <= 0.3 * cmd_vx, (
+        f"v_avg {v_avg:.3f} vs cmd {cmd_vx} (trim {follower.trim:.3f})"
+    )
     assert abs(pos[1]) < 0.3, pos
