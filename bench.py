@@ -164,8 +164,17 @@ def main():
     # stale-observation scenarios (the filter's alpha=0 fallback covers the
     # one transient rejection), and the device p99 drops ~3.8x
     # (LATENCY_r02: 7.16 ms -> 1.87 ms at identical defect).
-    alphas = tuple(
-        float(a) for a in os.environ.get("BENCH_ALPHAS", "1.0").split(",")
+    # BENCH_ALPHAS=none selects the pure full-step RTI (no merit pass at
+    # all — solver/sqp.py empty-alphas mode).  Measured on the chip: NO
+    # throughput gain at B=256 (26.5k either way — XLA overlaps the merit
+    # pass with the next stage), identical defect; kept as a deployment
+    # option, not the default (the filter's step cap is what absorbs big
+    # reference discontinuities, see OcpSettings.linesearch_alphas).
+    _alpha_env = os.environ.get("BENCH_ALPHAS", "1.0")
+    alphas = (
+        ()
+        if _alpha_env.strip().lower() in ("none", "")
+        else tuple(float(a) for a in _alpha_env.split(","))
     )
     # whole-backward-sweep Pallas Riccati kernel on TPU (3.1x the XLA scan at
     # B=256, no less accurate vs an f64 oracle); CPU smoke runs keep the XLA

@@ -121,20 +121,50 @@ def cmd_sim(args):
             channel = StdinCommandChannel(router)
             channel.start()
         viewer = None
+        interact = None
         if getattr(args, "view", False):
             # live 3D window (the role of the reference's vendored MuJoCo
             # `simulate` GUI, bipedal_mujoco/src/main.cc:505-556) — a
-            # passive viewer synced once per control tick
+            # passive viewer synced once per control tick, with the GUI's
+            # interactive control surface (sim/interactive.py): SPACE
+            # pause, -/= slow-motion, p lateral push, n sensor noise; the
+            # passive viewer natively adds mouse perturbation
             import mujoco.viewer
 
+            from .sim.interactive import SimInteraction
+
+            interact = SimInteraction()
             try:
-                viewer = mujoco.viewer.launch_passive(sim.model, sim.data)
+                viewer = mujoco.viewer.launch_passive(
+                    sim.model, sim.data, key_callback=interact.key_callback
+                )
             except Exception as e:  # noqa: BLE001 — headless hosts
                 print(f"viewer unavailable ({e}); continuing headless", file=sys.stderr)
+                interact = None
         control_dt = 1.0 / args.control_frequency
         substeps = max(1, int(round(control_dt / sim.timestep)))
         steps = int(round(args.duration / control_dt))
+        if interact is not None:
+            import mujoco as _mj
+
+            _free = [
+                j for j in range(sim.model.njnt)
+                if sim.model.jnt_type[j] == _mj.mjtJoint.mjJNT_FREE
+            ]
+            _base_body = int(sim.model.jnt_bodyid[_free[0]]) if _free else 1
         for k in range(steps):
+            if interact is not None:
+                import time as _time
+
+                while interact.paused and viewer is not None and viewer.is_running():
+                    viewer.sync()
+                    _time.sleep(0.05)
+                if interact.sleep_factor() > 1.0:
+                    _time.sleep((interact.sleep_factor() - 1.0) * control_dt)
+                wrench = interact.push_wrench(sim.time)
+                sim.data.xfrc_applied[_base_body, :] = (
+                    wrench if wrench is not None else 0.0
+                )
             if ctrl.async_mpc is not None:
                 # sim-to-solver pacing (the MuJoCo node's CPU-sim sync):
                 # never let simulated time outrun the worker by more than
@@ -143,6 +173,8 @@ def cmd_sim(args):
             if args.estimator == "kalman":
                 imu = sim.imu()
                 qj, dqj = sim.joint_states()
+                if interact is not None:
+                    imu, qj, dqj = interact.corrupt_sensors(imu, qj, dqj)
                 cmd = ctrl.update_from_sensors(
                     sim.time, imu["imu_quat"], imu["imu_gyro"], imu["imu_acc"], qj, dqj
                 )

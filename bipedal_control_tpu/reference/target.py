@@ -188,6 +188,20 @@ class CmdVelFollower:
     ki: float = 1.2  # 1/s integral gain on the forward-velocity error
     trim_frac_max: float = 1.0  # |trim| <= trim_frac_max * |cmd_vx|
     retarget_period: float = 0.25
+    # Heading hold: per-observation retargeting re-anchors the yaw reference
+    # at the MEASURED yaw every cycle, so heading performs a random walk and
+    # the world-frame path curves — measured on OpenLoong as yaw drifting to
+    # -0.38 rad over 6 s, which IS the reported "lateral drift" (the robot
+    # walks straight along its own wandering heading; dy/dt matches
+    # v*sin(yaw) exactly).  k_yaw pulls the commanded yaw rate toward the
+    # integrated heading reference yaw0 + cmd_yaw_rate * t.
+    k_yaw: float = 0.0  # 1/s proportional heading-hold gain
+    yaw_rate_max: float = 0.5  # rad/s clamp on the correction
+    # engage the heading hold only after this settling time: it is a
+    # steady-state corrector, and fighting the capture-stepping transient
+    # of the first strides can tip a marginal robot (measured on OpenLoong:
+    # immediate engagement falls at ~3.6 s from some spawns)
+    yaw_hold_delay_s: float = 2.0
 
     # NOTE: trimming the LATERAL axis the same way was tried and rejected —
     # on OpenLoong the lateral dynamics carry a slow (~2 s) rocking mode,
@@ -200,6 +214,7 @@ class CmdVelFollower:
         self._trim = 0.0
         self._last_t = None
         self._next_retarget = None
+        self._yaw_ref = None
 
     @property
     def trim(self) -> float:
@@ -224,8 +239,17 @@ class CmdVelFollower:
         if t_obs + 1e-9 < self._next_retarget:
             return None
         self._next_retarget += self.retarget_period
+        if not hasattr(self, "_t_first"):
+            self._t_first = t_obs
         cmd = self.cmd_vel.copy()
         cmd[0] += self._trim
+        if self.k_yaw > 0.0 and t_obs - self._t_first >= self.yaw_hold_delay_s:
+            if self._yaw_ref is None:
+                self._yaw_ref = float(x_obs[9])
+            else:
+                self._yaw_ref += self.cmd_vel[3] * self.retarget_period
+            err = (self._yaw_ref - float(x_obs[9]) + np.pi) % (2 * np.pi) - np.pi
+            cmd[3] += float(np.clip(self.k_yaw * err, -self.yaw_rate_max, self.yaw_rate_max))
         return cmd_vel_to_target_trajectories(
             cmd, t_obs, x_obs, self.cfg, self.input_dim
         )

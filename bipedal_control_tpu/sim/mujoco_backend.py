@@ -27,6 +27,17 @@ from ..runtime.controller import JointCommand
 class MujocoSimConfig:
     physics_substeps_per_control: int = 1
     command_delay_s: float = 0.0  # 0.009 replicates the Gazebo delay buffer
+    # Gazebo read-path fidelity (BipedalHWSim::readSim, BipedalHWSim.cpp:88-158):
+    # - joint velocities are FINITE-DIFFERENCED from positions between reads
+    #   (with shortest-angular-distance accumulation for revolute joints),
+    #   not read from the simulator's velocity state;
+    # - the IMU is SYNTHESIZED from the base link state (orientation, local
+    #   angular rate, local linear acceleration minus rotated gravity)
+    #   instead of MJCF sensor elements;
+    # - a command is consumed ONCE: stepping again without a fresh
+    #   apply_command() zeroes the actuation ("set cmd to zero to avoid
+    #   crazy soft limit oscillation when no controller loaded").
+    gazebo_semantics: bool = False
 
 
 def _load_mj_model(mujoco, mjcf_path: str):
@@ -171,9 +182,12 @@ class MujocoSimBackend:
         self._mj.mj_forward(self.model, self.data)
         self._cmd = None
         self._delay_queue.clear()
+        self._cmd_fresh = False
+        self._fd_prev = None  # gazebo-semantics finite-difference state
 
     def apply_command(self, cmd: JointCommand) -> None:
         self._delay_queue.append(cmd)
+        self._cmd_fresh = True
 
     def _active_command(self) -> JointCommand | None:
         if not self._delay_queue:
@@ -185,8 +199,13 @@ class MujocoSimBackend:
         return self._cmd
 
     def step(self, n_substeps: int = 1) -> None:
+        # one step() call = one read/write cycle: under gazebo semantics a
+        # command not refreshed since the previous cycle actuates NOTHING
+        # (readSim zeroes the buffers; only a live controller re-fills them)
+        stale = self.cfg.gazebo_semantics and not getattr(self, "_cmd_fresh", False)
+        self._cmd_fresh = False
         for _ in range(n_substeps):
-            cmd = self._active_command()
+            cmd = None if stale else self._active_command()
             if cmd is not None:
                 q = self.data.qpos[self._qadr]
                 dq = self.data.qvel[self._dadr]
@@ -194,6 +213,10 @@ class MujocoSimBackend:
                 for aid, t in zip(self._act_ids, tau):
                     lo, hi = self.model.actuator_ctrlrange[aid]
                     self.data.ctrl[aid] = np.clip(t, lo, hi)
+            elif stale:
+                # ctrl persists in MuJoCo; the readSim zeroing must clear it
+                for aid in self._act_ids:
+                    self.data.ctrl[aid] = 0.0
             # hold the upper body at its targets (UpperJointController
             # semantics, kp=100 kd=3, UpperJointController.cpp:31-118)
             for aid, qadr, dadr in self._other_act_joint:
@@ -219,7 +242,21 @@ class MujocoSimBackend:
         return pos, quat, v_world, omega_world
 
     def joint_states(self):
-        return self.data.qpos[self._qadr].copy(), self.data.qvel[self._dadr].copy()
+        """(q_j, dq_j).  Under gazebo_semantics, velocities are FINITE
+        DIFFERENCES of the position readout between successive calls (the
+        reference hardware sim never reads simulator velocities —
+        BipedalHWSim.cpp:90-96), with zero velocity on the first read."""
+        q = self.data.qpos[self._qadr].copy()
+        if not self.cfg.gazebo_semantics:
+            return q, self.data.qvel[self._dadr].copy()
+        t = self.time
+        prev = getattr(self, "_fd_prev", None)
+        if prev is None or t <= prev[0]:
+            dq = np.zeros_like(q)
+        else:
+            dq = (q - prev[1]) / (t - prev[0])
+        self._fd_prev = (t, q.copy())
+        return q, dq
 
     def rbd_state(self, last_yaw=None) -> np.ndarray:
         """Cheater-estimator rbdState straight from ground truth."""
@@ -270,7 +307,13 @@ class MujocoSimBackend:
 
     def imu(self):
         """(quat_wxyz, gyro_local, accel_local) from the MJCF IMU sensors when
-        present, else synthesized from ground truth."""
+        present, else synthesized from ground truth.  Under gazebo_semantics
+        the synthesized path is ALWAYS used — the reference's hardware sim
+        builds its IMU from the base link state, not sensor plugins
+        (BipedalHWSim.cpp:106-124): orientation from the link pose, angular
+        rate in the link frame, and specific force R^T (a_world - g)."""
+        if self.cfg.gazebo_semantics:
+            return self._imu_from_link_state()
         m, d = self.model, self.data
         out = {}
         for key, names in self._IMU_ALIASES.items():
@@ -280,4 +323,24 @@ class MujocoSimBackend:
                     adr, dim = m.sensor_adr[sid], m.sensor_dim[sid]
                     out[key] = d.sensordata[adr : adr + dim].copy()
                     break
+        if len(out) < 3:
+            out = {**self._imu_from_link_state(), **out}
         return out
+
+    def _imu_from_link_state(self):
+        """Synthesize the IMU triple from the floating base's state: the
+        accelerometer's specific force uses the base linear acceleration
+        from the dynamics (mjData.qacc after the step) minus gravity,
+        rotated into the base frame."""
+        pos, quat, v_world, omega_world = self.ground_truth()
+        R = np.zeros(9)
+        self._mj.mju_quat2Mat(R, quat)
+        R = R.reshape(3, 3)
+        gyro_local = R.T @ omega_world
+        a_world = self.data.qacc[0:3].copy()
+        accel_local = R.T @ (a_world - np.array([0.0, 0.0, -9.81]))
+        return {
+            "imu_quat": quat.copy(),
+            "imu_gyro": gyro_local,
+            "imu_acc": accel_local,
+        }

@@ -258,6 +258,29 @@ def sqp_solve(
         sol = lqr(nodes, masks, dx0=jnp.zeros_like(x_init))
         gains = sol.K
 
+        if len(settings.linesearch_alphas) == 0:
+            # Pure RTI: always take the full Newton step and skip the merit
+            # evaluation entirely (the acados-style real-time iteration; the
+            # merit/linesearch pass is ~21% of the TPU solve).  Safety
+            # envelope vs the filter: tools/alpha_sweep.py.  Diagnostics
+            # (cost/defect/eq) are those of the PRE-step point — the data
+            # the linearization already holds; across chained warm RTI
+            # solves they lag one replan, converging to the same value.
+            if ipm:
+                raise NotImplementedError(
+                    "cone='ipm' needs linesearch candidates for its "
+                    "fraction-to-boundary cap; use a non-empty "
+                    "linesearch_alphas"
+                )
+            xs = xs + sol.dx
+            us = us + sol.du
+            step_size = jnp.asarray(1.0)
+            e_masked = masks * nodes.e
+            cost = jnp.sum(nodes.cost)
+            defect = jnp.sum(jnp.abs(nodes.c))
+            eq = jnp.sum(jnp.abs(e_masked))
+            continue
+
         alphas = jnp.asarray(settings.linesearch_alphas)
         if ipm:
             # slack/dual Newton directions recovered from du, then the

@@ -135,10 +135,23 @@ def test_openloong_walks_at_cmd_vel():
     velocity-integral trim on top cancels the touchdown-braking deficit
     that capped the plain retarget loop at ~58% of command.  Measured
     2026-08-21: 1.15 m in 6 s, v_avg 0.230 = 92% of command, z 1.05-1.09.
-    Asserted: |v_avg - cmd| <= 30% of cmd.  The known lateral drift
-    remains (~0.1 m/s, documented TODO — lateral-velocity integral trim was
-    tried and REJECTED: it chases the ~2 s rocking mode into a fall).
-    The reference never stepped OpenLoong at all."""
+    Asserted: |v_avg - cmd| <= 30% of cmd.
+
+    The round-3 "lateral drift" TODO is root-caused: it is dominated by a
+    HEADING random walk — per-observation retargeting re-anchors the yaw
+    reference at the measured yaw each cycle, so heading wanders (to
+    -0.38 rad over 6 s) and the world path curves; the late-phase dy/dt
+    matched v*sin(yaw) exactly.  The follower's heading hold (k_yaw) pins
+    yaw to the integrated reference and cut the measured steady drift rate
+    0.08 -> 0.017 m/s on the best runs; it must engage AFTER the capture
+    transient (yaw_hold_delay_s — immediate engagement tipped the robot at
+    3.6 s from one spawn).  Caveat, measured: the lateral system is
+    CHAOTIC — mm-level spawn differences change the first-stride capture
+    transient and with it the accumulated offset (y_end -0.6 to -0.95
+    across spawns), so this test asserts a tolerant envelope rather than a
+    drift rate.  A lateral-velocity integral trim was tried and REJECTED
+    (chases the ~2 s rocking mode into a fall).  The reference never
+    stepped OpenLoong."""
     pytest.importorskip("mujoco")
     from bipedal_control_tpu.interface import make_interface_for
     from bipedal_control_tpu.reference.target import CmdVelFollower
@@ -165,7 +178,7 @@ def test_openloong_walks_at_cmd_vel():
     cmd_vx = 0.25
     follower = CmdVelFollower(
         np.array([cmd_vx, 0.0, 0.0, 0.0]), iface.command_config,
-        iface.info.input_dim, ki=1.2,
+        iface.info.input_dim, ki=1.2, k_yaw=1.0, yaw_hold_delay_s=2.0,
     )
     t_walk0, x_walk0 = None, None
     for _ in range(int(6.0 / control_dt)):
@@ -190,3 +203,6 @@ def test_openloong_walks_at_cmd_vel():
     assert abs(v_avg - cmd_vx) <= 0.3 * cmd_vx, (
         f"v_avg {v_avg:.3f} vs cmd {cmd_vx} (trim {follower.trim:.3f})"
     )
+    # tolerant lateral envelope (chaotic transient, see docstring); the
+    # un-held heading random walk eventually exceeds this on longer runs
+    assert abs(pos[1]) < 1.2, pos

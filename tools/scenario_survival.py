@@ -43,8 +43,14 @@ def main():
     cmd = (0.3, 0.0, 0.0, 0.0)
 
     h1 = make_interface_for("h1")
+    riccati = os.environ.get("SURV_RICCATI", "sequential")
+    rp = float(os.environ.get("SURV_RICCATI_PENALTY", "1e4"))
     iface = dataclasses.replace(
-        h1, settings=dataclasses.replace(h1.settings, dt=0.02, sqp_iterations=1)
+        h1,
+        settings=dataclasses.replace(
+            h1.settings, dt=0.02, sqp_iterations=1, riccati=riccati,
+            riccati_penalty=rp,
+        ),
     )
     run = jax.jit(
         make_batched_closed_loop(
@@ -60,6 +66,7 @@ def main():
         "duration_s": duration,
         "cmd_vel": cmd[0],
         "platform": jax.devices()[0].platform,
+        "riccati": riccati,
         "per_scale": [],
     }
     progress_min = 0.3 * cmd[0] * duration
