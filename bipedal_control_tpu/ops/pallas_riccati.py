@@ -136,25 +136,55 @@ def _backward_kernel(
     reg = mask * dual_eps + (1.0 - mask) * 1.0  # (ne, bt)
     negE = -_eye(ne)[:, :, None] * reg[:, None, :]
     DT = _transpose01(D)  # (nu, ne, bt)
-    # augmented KKT rows: [Huu+rI  D^T | Hux  h_u] ; [D  -E | C  e]
-    top = jnp.concatenate([H_uu + huu_reg * eye_nu, DT, H_ux, h_u[:, None, :]], axis=1)
-    bot = jnp.concatenate([D, negE, Cm, e[:, None, :]], axis=1)
-    aug = jnp.concatenate([top, bot], axis=0)  # (nk, nk+nx+1, bt)
+    # augmented KKT system [Huu+rI  D^T | Hux  h_u] ; [D  -E | C  e], built
+    # COLUMN-major (cols, rows, bt) directly — the Gauss-Jordan below drops
+    # eliminated columns by leading-axis slicing, and building in that
+    # orientation avoids a (79, 47, bt) whole-matrix transpose (the
+    # symmetric blocks Huu+rI and -E are their own transposes)
     nk = nu + ne
+    aug = jnp.concatenate(
+        [
+            jnp.concatenate([H_uu + huu_reg * eye_nu, DT], axis=1),  # cols 0..nu
+            jnp.concatenate([D, negE], axis=1),  # cols nu..nk
+            jnp.concatenate(
+                [_transpose01(H_ux), _transpose01(Cm)], axis=1
+            ),  # state columns
+            jnp.concatenate([h_u, e], axis=0)[None],  # RHS column
+        ],
+        axis=0,
+    )  # (nk+nx+1, nk, bt) column-major
 
-    # pivot-free Gauss-Jordan, fully unrolled with static indices
+    # Pivot-free Gauss-Jordan, fully unrolled with static indices, with two
+    # VPU-level reductions vs the naive form:
+    # - one reciprocal + multiplies instead of per-column divisions (VPU
+    #   divides are slower than FMAs);
+    # - ELIMINATED COLUMNS ARE DROPPED in blocks of 8: only the trailing
+    #   [Hux | h_u] solution columns are ever read after the sweep, so the
+    #   working set shrinks 79 -> 32 wide (H1) across the sweep — ~25%
+    #   fewer FMAs than updating the full augmented matrix.  The matrix is
+    #   held column-major (cols, rows, bt) so the shrink is a LEADING-axis
+    #   slice; blockwise (not per-pivot) shrinking keeps the number of
+    #   distinct intermediate shapes small enough for the Mosaic compiler
+    #   (per-pivot shrinking crashed the compile helper), and dropped
+    #   column indices are tracked by `off`.
+    augT = aug  # already column-major (cols, nk, bt)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nk, 1), 0)
+    _BLK = 8
+    off = 0  # columns already dropped
     for i in range(nk):
-        row = aug[i]  # (cols, bt)
-        piv = row[i]  # (bt,)
-        norm = row / piv[None, :]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nk, 1), 0)
         e_i = (rows == i).astype(dt)  # (nk, 1)
-        colm = aug[:, i, :] - e_i  # (nk, bt)
-        aug = aug - colm[:, None, :] * norm[None, :, :]
+        colm = augT[i - off] - e_i  # (nk, bt)
+        rowi = augT[:, i, :]  # (w, bt) current pivot row, column-major
+        piv = rowi[i - off]  # (bt,)
+        norm = rowi * (1.0 / piv)[None, :]
+        augT = augT - norm[:, None, :] * colm[None, :, :]
+        if (i + 1) % _BLK == 0:
+            augT = augT[_BLK:]
+            off += _BLK
 
-    sol = aug[:nu, nk:, :]  # (nu, nx+1, bt): du = -K dx - k
-    K = sol[:, :nx, :]  # (nu, nx, bt)
-    kvec = sol[:, nx, :]  # (nu, bt)
+    augT = augT[nk - off :]  # (nx+1, nk, bt): the solution columns
+    K = _transpose01(augT[:nx, :nu, :])  # (nu, nx, bt)
+    kvec = augT[nx, :nu, :]  # (nu, bt)
 
     HuuK = _mm(H_uu, K)  # (nu, nx, bt) = Huu K (Huu symmetric)
     KtHuuK = _mm(K, HuuK)  # (nx, nx, bt)
