@@ -67,6 +67,15 @@ class ControllerConfig:
     # dispatches on the tick path); "device" keeps the jitted WBC (useful
     # when the controller itself runs device-side or for A/B tests).
     wbc_backend: str = "host"
+    # First-order low-pass on the MEASURED joint velocities (Hz; 0 = off).
+    # Contact impacts ring single-tick velocity spikes through light links
+    # (measured 188-281 rad/s on Hunter's gram-scale feet at lift-off),
+    # which poison both the PD damping term (kd * 280 -> torque-clip
+    # chatter that pumps the robot off the ground) and the MPC's momentum
+    # observation.  Hardware drivers filter encoder velocities the same
+    # way; 0 keeps the raw signal (the default for the heavier robots,
+    # whose loops are validated unfiltered).
+    joint_vel_lpf_hz: float = 0.0
 
 
 def wbc_config_from_task(task) -> WbcTaskConfig:
@@ -326,6 +335,21 @@ class BipedalController:
 
         tick_t0 = _time.perf_counter()
         rbd = np.asarray(rbd_measured)
+        if self.cfg.joint_vel_lpf_hz > 0.0:
+            nj = self.iface.info.nj
+            dqj = rbd[12 + nj : 12 + 2 * nj]
+            prev = getattr(self, "_dqj_filt", None)
+            t_prev = getattr(self, "_lpf_t", None)
+            if prev is None or t_prev is None or t <= t_prev:
+                filt = dqj.copy()
+            else:
+                a = 1.0 - np.exp(
+                    -2.0 * np.pi * self.cfg.joint_vel_lpf_hz * (t - t_prev)
+                )
+                filt = prev + a * (dqj - prev)
+            self._dqj_filt, self._lpf_t = filt, t
+            rbd = rbd.copy()
+            rbd[12 + nj : 12 + 2 * nj] = filt
         x_obs = self._observation(rbd)
         self.last_observation = (t, x_obs)
 

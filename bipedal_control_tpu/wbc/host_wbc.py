@@ -340,6 +340,16 @@ class HostWbc:
         else:
             kin = compute_wbc_kinematics_np(self.hm, x_des, u_des, rbd_measured)
         H, g, A, l, u = self._assemble(kin, contact_flags)
+        # Cold-start on a CONTACT-STRUCTURE change: the warm duals belong to
+        # the previous active set (stance zero-accel rows vs swing-task
+        # rows flip with the flags), and the short warm iteration budget
+        # then emits garbage torques for several ticks — measured on Hunter
+        # as +-250 N m tau_ff oscillation at lift-off whose 23.7 N m
+        # clipped residue pumped the 11 kg robot off the ground.
+        flags_key = tuple(bool(f) for f in np.asarray(contact_flags) > 0.5)
+        if getattr(self, "_last_flags", None) != flags_key:
+            self._state = None
+        self._last_flags = flags_key
         state0 = self._state if warm else None
         iters = self.warm_iters if state0 is not None else self.qp_iters
         state, primal, dual = solve_qp_np(H, g, A, l, u, iters=iters, warm=state0)

@@ -78,10 +78,17 @@ def test_hunter_stands_closed_loop(tmp_path):
        transient alone is enough to wind up the replan loop on line feet.
 
     Result (measured 2026-08-21): pitch converges to +1e-4, z 0.627,
-    |x-drift| < 5 mm over 4 s.  Stepping gaits still launch at the first
-    lift-off (z +0.13 at liftoff; open item, documented in git history).
+    |x-drift| < 5 mm over 4 s.
+
+    The lift-off launch that blocked stepping was a fifth finding, fixed in
+    round 4 as well (see test_hunter_steps_and_walks): with zero reflected
+    motor inertia in the URDF, contact impacts rang the gram-scale links at
+    188-281 rad/s single-tick velocity spikes, whose clipped PD damping
+    torque pumped the robot off the ground (contact force 4-8x weight at
+    alternating ticks).  Joint armature in the generated scene — a real
+    property of geared actuators the URDF omits — kills the mode outright.
     The 23.7 N m torque cap is NOT the blocker — static stance needs only
-    ~5 N m at the knee (torque analysis in the round-4 work log)."""
+    ~5 N m at the knee."""
     pytest.importorskip("mujoco")
     from bipedal_control_tpu.interface import make_interface_for
     from bipedal_control_tpu.runtime.controller import BipedalController, JointCommand
@@ -125,6 +132,82 @@ def test_hunter_stands_closed_loop(tmp_path):
     assert pos[2] > 0.6, pos
     assert abs(rbd[1]) < 0.05 and abs(rbd[2]) < 0.05, rbd[:3]
     assert abs(pos[0]) < 0.1 and abs(pos[1]) < 0.1, pos
+
+
+def test_hunter_steps_and_walks(tmp_path):
+    """Hunter STEPS and WALKS in closed-loop physics (round 4; the
+    reference never ran Hunter at all).  On top of the stance fixes, the
+    lift-off launch was traced to missing reflected motor inertia: the
+    URDF's gram-scale shank/foot links ring 200+ rad/s velocity spikes at
+    contact impacts, and the PD's clipped damping response pumps the 11 kg
+    robot airborne within 0.15 s of the first lift-off.  Joint armature
+    (sim/urdf_mjcf.py, 0.01 kg m^2 — a physical property of any geared
+    actuator) removes the mode; no observation filtering or gain retuning
+    needed.  Measured 2026-08-21: fast_trot steps in place indefinitely
+    (pitch/roll within +-0.03), and with CmdVelFollower at cmd 0.2 m/s the
+    robot covers 1.04 m in ~5 s of walking — ~100% velocity tracking —
+    with |y| < 0.08.  This test walks 5.5 s and asserts the tracking
+    bound."""
+    pytest.importorskip("mujoco")
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.reference.target import CmdVelFollower
+    from bipedal_control_tpu.runtime.controller import BipedalController, JointCommand
+    from bipedal_control_tpu.sim.mujoco_backend import MujocoSimBackend, MujocoSimConfig
+    from bipedal_control_tpu.sim.urdf_mjcf import build_mjcf_scene_from_urdf
+
+    iface = make_interface_for("hunter")
+    scene = build_mjcf_scene_from_urdf(
+        URDF, list(iface.task.joint_names), out_path=str(tmp_path / "hunter_scene.xml")
+    )
+    sim = MujocoSimBackend(scene, list(iface.task.joint_names), MujocoSimConfig())
+    x0 = np.asarray(iface.initial_state)
+    nj = iface.info.nj
+    sim.reset(
+        base_pos=np.array([x0[6], x0[7], 0.6295]),
+        base_quat_wxyz=np.array([1.0, 0, 0, 0]),
+        joint_pos=x0[12:],
+    )
+    hold = JointCommand(
+        pos_des=x0[12:], vel_des=np.zeros(nj),
+        kp=np.full(nj, 120.0), kd=np.full(nj, 4.0), tau_ff=np.zeros(nj),
+    )
+    for _ in range(400):
+        sim.apply_command(hold)
+        sim.step(1)
+    ctrl = BipedalController(iface)
+    ctrl.starting(sim.time, sim.rbd_state())
+    ctrl.set_gait(iface.task.gait_library["fast_trot"], start_time=sim.time + 0.6)
+    control_dt = 1.0 / 500.0
+    substeps = max(1, int(round(control_dt / sim.timestep)))
+    cmd_vx = 0.2
+    follower = CmdVelFollower(
+        np.array([cmd_vx, 0.0, 0.0, 0.0]), iface.command_config,
+        iface.info.input_dim, ki=1.2, k_yaw=1.0, yaw_hold_delay_s=2.0,
+    )
+    walk_from = sim.time + 1.0
+    t_walk0 = x_walk0 = None
+    for _ in range(int(6.5 / control_dt)):
+        rbd = sim.rbd_state(last_yaw=ctrl.last_yaw)
+        if sim.time >= walk_from:
+            traj = follower.update(*ctrl.last_observation)
+            if traj is not None:
+                ctrl.set_target(traj)
+            if t_walk0 is None:
+                t_walk0, x_walk0 = sim.time, sim.ground_truth()[0][0]
+        cmd = ctrl.update(sim.time, rbd)
+        assert np.all(np.isfinite(cmd.tau_ff))
+        sim.apply_command(cmd)
+        sim.step(substeps)
+        if not ctrl.safe:
+            break
+    pos = sim.ground_truth()[0]
+    assert ctrl.safe, f"safety stop at t={sim.time:.2f}, base at {pos}"
+    assert pos[2] > 0.55, pos
+    v_avg = (pos[0] - x_walk0) / (sim.time - t_walk0)
+    assert abs(v_avg - cmd_vx) <= 0.3 * cmd_vx, (
+        f"v_avg {v_avg:.3f} vs cmd {cmd_vx} (trim {follower.trim:.3f})"
+    )
+    assert abs(pos[1]) < 0.3, pos
 
 
 def test_hunter_safety_stop_semantics():
