@@ -42,6 +42,14 @@ def main():
     scales = [float(s) for s in os.environ.get("SURV_SCALES", "0.5,1.0,1.5,2.0").split(",")]
     cmd = (0.3, 0.0, 0.0, 0.0)
 
+    # optional KKT regularization override for f32-robustness sweeps
+    if os.environ.get("SURV_REGS"):
+        d_eps, h_reg = (float(v) for v in os.environ["SURV_REGS"].split(","))
+        from bipedal_control_tpu.solver import riccati as _ric
+
+        _ric._regs = lambda dtype: (d_eps, h_reg)
+        print(f"reg override: dual_eps={d_eps} huu_reg={h_reg}")
+
     h1 = make_interface_for("h1")
     riccati = os.environ.get("SURV_RICCATI", "sequential")
     rp = float(os.environ.get("SURV_RICCATI_PENALTY", "1e4"))
