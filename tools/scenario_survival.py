@@ -56,8 +56,9 @@ def main():
     iface = dataclasses.replace(
         h1,
         settings=dataclasses.replace(
-            h1.settings, dt=0.02, sqp_iterations=1, riccati=riccati,
-            riccati_penalty=rp,
+            h1.settings, dt=0.02,
+            sqp_iterations=int(os.environ.get("SURV_SQP_ITERS", "1")),
+            riccati=riccati, riccati_penalty=rp,
         ),
     )
     run = jax.jit(
