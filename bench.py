@@ -67,6 +67,9 @@ def _toolchain_versions():
         out["device_kind"] = jax.devices()[0].device_kind
     except Exception:  # noqa: BLE001
         pass
+    from bipedal_control_tpu.utils.precision import matmul_precision
+
+    out["matmul_precision"] = matmul_precision()
     return out
 
 
@@ -149,6 +152,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/bctpu_xla"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Production matmul-precision policy (utils/precision.py): full-f32 dots,
+    # not XLA's single-pass-bf16 TPU default — the bench measures what the
+    # closed loop deploys.  Measured throughput cost at B=256: none (the
+    # solve is VPU-bound; MXU sits at ~0.2%).
+    from bipedal_control_tpu.utils.precision import matmul_precision
+
+    jax.config.update("jax_default_matmul_precision", matmul_precision())
     import jax.numpy as jnp
 
     from bipedal_control_tpu.interface import make_interface_for

@@ -19,6 +19,7 @@ from ..solver.sqp import (
     initial_trajectory,
     sqp_solve,
 )
+from ..utils.precision import default_matmul_precision
 from ..utils.timing import RepeatedTimer
 
 
@@ -133,19 +134,23 @@ class MpcRunner:
         cap = getattr(iface.task, "capture", None)
         _capture_dq, decay = make_capture_hook(cap, info.nj)
 
+        # Full-f32 matmuls: on TPU the bf16 dot default degrades the stage-KKT
+        # and physics algebra (utils/precision.py; SCENARIOS_r04.json sweep).
         @jax.jit
         def _replan_cold(gait, swing, target, t_nodes, x_init):
-            dq = _capture_dq(target, t_nodes, x_init)
-            refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
-            xs, us = initial_trajectory(info, refs, x_init, num_nodes)
-            return _solve(refs, t_nodes, x_init, xs, us)
+            with default_matmul_precision():
+                dq = _capture_dq(target, t_nodes, x_init)
+                refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
+                xs, us = initial_trajectory(info, refs, x_init, num_nodes)
+                return _solve(refs, t_nodes, x_init, xs, us)
 
         @jax.jit
         def _replan_warm(gait, swing, target, t_nodes, x_init, prev_t, prev_xs, prev_us):
-            dq = _capture_dq(target, t_nodes, x_init)
-            refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
-            xs, us = warm_start_trajectories(prev_t, prev_xs, prev_us, t_nodes)
-            return _solve(refs, t_nodes, x_init, xs, us)
+            with default_matmul_precision():
+                dq = _capture_dq(target, t_nodes, x_init)
+                refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
+                xs, us = warm_start_trajectories(prev_t, prev_xs, prev_us, t_nodes)
+                return _solve(refs, t_nodes, x_init, xs, us)
 
         self._replan_cold = _replan_cold
         self._replan_warm = _replan_warm

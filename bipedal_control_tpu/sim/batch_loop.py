@@ -31,6 +31,7 @@ import numpy as np
 from ..interface import RobotInterface
 from ..runtime.mrt import evaluate_policy
 from ..solver.sqp import build_refs, initial_trajectory, sqp_solve, warm_start_trajectories
+from ..utils.precision import default_matmul_precision
 from ..wbc.weighted_wbc import wbc_update
 from .jax_physics import (
     JaxSimConfig,
@@ -236,7 +237,10 @@ def make_batched_closed_loop(
         return sim, zmins.min(), tiltmaxs.max(), defects[-1]
 
     def run(x0_batch):
-        sims, zmin, tilt, defect = jax.vmap(episode)(x0_batch)
+        # Full-f32 matmuls: on TPU the bf16 dot default HALVES randomized
+        # walking survival (utils/precision.py; SCENARIOS_r04.json sweep).
+        with default_matmul_precision():
+            sims, zmin, tilt, defect = jax.vmap(episode)(x0_batch)
         return BatchLoopResult(
             final_state=sims, base_z_min=zmin, tilt_max=tilt, defect_last=defect
         )

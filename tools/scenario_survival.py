@@ -24,6 +24,10 @@ import jax
 
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# TPU f32 matmuls default to single-pass bf16 on the MXU; this knob raises
+# them to true f32 (6-pass) for the f32-robustness sweeps.
+if os.environ.get("SURV_MATMUL_PRECISION"):
+    jax.config.update("jax_default_matmul_precision", os.environ["SURV_MATMUL_PRECISION"])
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -68,6 +72,8 @@ def main():
         )
     )
 
+    from bipedal_control_tpu.utils.precision import matmul_precision
+
     out = {
         "metric": "randomized_walking_survival",
         "robot": "h1",
@@ -76,6 +82,7 @@ def main():
         "cmd_vel": cmd[0],
         "platform": jax.devices()[0].platform,
         "riccati": riccati,
+        "matmul_precision": matmul_precision(),
         "per_scale": [],
     }
     progress_min = 0.3 * cmd[0] * duration
