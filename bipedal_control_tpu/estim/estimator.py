@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.kinematics import forward_kinematics, frame_position
+from ..utils.precision import default_matmul_precision
 from ..utils.rotations import unwrap_near, zyx_from_quat_wxyz
 from .kalman import KalmanConfig, KalmanState, kalman_init, kalman_update
 
@@ -72,14 +73,15 @@ class KalmanStateEstimator:
 
         @jax.jit
         def _step(state, quat, gyro, accel, joint_pos, joint_vel, flags):
-            R_wb = _rot_from_quat_wxyz(quat)
-            euler = zyx_from_quat_wxyz(quat)
-            omega_world = R_wb @ gyro
-            new = kalman_update(
-                model, info, cfg_c, state, R_wb, accel, euler, omega_world,
-                joint_pos, joint_vel, flags,
-            )
-            return new, euler, omega_world
+            with default_matmul_precision():
+                R_wb = _rot_from_quat_wxyz(quat)
+                euler = zyx_from_quat_wxyz(quat)
+                omega_world = R_wb @ gyro
+                new = kalman_update(
+                    model, info, cfg_c, state, R_wb, accel, euler, omega_world,
+                    joint_pos, joint_vel, flags,
+                )
+                return new, euler, omega_world
 
         @jax.jit
         def _feet_rel(euler, joint_pos):

@@ -23,6 +23,7 @@ from ..model.centroidal import CentroidalModelInfo
 from ..model.robot_model import RobotModel
 from ..ocp.problem import OcpSettings
 from ..solver.sqp import sqp_solve
+from ..utils.precision import default_matmul_precision
 
 
 def batched_sqp_solve(model, info, settings, Q, R, refs_b, t_nodes_b, x_init_b, xs_b, us_b):
@@ -58,7 +59,14 @@ def make_batched_solver(
     """Compile a batch-sharded solver.  Inputs must be batched on axis 0; when
     a mesh is given the batch axis is sharded across it (batch % n_devices == 0).
     """
-    f = partial(batched_sqp_solve, model, info, settings, Q, R)
+    _f = partial(batched_sqp_solve, model, info, settings, Q, R)
+
+    # Full-f32 matmuls: on TPU the bf16 dot default corrupts the stage-KKT
+    # algebra (utils/precision.py; SCENARIOS_r04.json root cause).
+    def f(refs_b, t_nodes_b, x_init_b, xs_b, us_b):
+        with default_matmul_precision():
+            return _f(refs_b, t_nodes_b, x_init_b, xs_b, us_b)
+
     if mesh is None:
         return jax.jit(f, donate_argnums=(3, 4) if donate_warm_start else ())
     # axis_name may be a single mesh axis or a full PartitionSpec (e.g.

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..interface import RobotInterface
+from ..utils.precision import default_matmul_precision
 from ..utils.timing import RepeatedTimer
 from ..wbc.tasks import WbcTaskConfig
 from ..wbc.weighted_wbc import wbc_update
@@ -144,7 +145,8 @@ class BipedalController:
 
             @jax.jit
             def _wbc(x_des, u_des, rbd, flags):
-                return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
+                with default_matmul_precision():
+                    return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
 
             self._wbc = _wbc
         else:
@@ -257,7 +259,8 @@ class BipedalController:
 
             @jax.jit
             def _wbc(x_des, u_des, rbd, flags):
-                return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
+                with default_matmul_precision():
+                    return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
 
             self._wbc = _wbc
 

@@ -18,6 +18,7 @@ from ..interface import RobotInterface
 from ..model.centroidal import centroidal_flow_map
 from ..runtime.mpc_runner import MpcRunner
 from ..runtime.mrt import evaluate_policy
+from ..utils.precision import default_matmul_precision
 
 
 @dataclasses.dataclass
@@ -47,12 +48,13 @@ def run_dummy_loop(
 
     @jax.jit
     def step(x, u):
-        f = lambda xx: centroidal_flow_map(model, info, xx, u)
-        k1 = f(x)
-        k2 = f(x + 0.5 * dt * k1)
-        k3 = f(x + 0.5 * dt * k2)
-        k4 = f(x + dt * k3)
-        return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        with default_matmul_precision():
+            f = lambda xx: centroidal_flow_map(model, info, xx, u)
+            k1 = f(x)
+            k2 = f(x + 0.5 * dt * k1)
+            k3 = f(x + 0.5 * dt * k2)
+            k4 = f(x + dt * k3)
+            return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
 
     x = jnp.asarray(x0)
     t = t0
