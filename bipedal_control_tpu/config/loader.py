@@ -112,7 +112,16 @@ class CaptureConfig:
     instantaneous capture point p + sqrt(z/g) v (kv ~ sqrt(z0/g)/leg_len,
     kp ~ 1/leg_len).  Applied per-node only where the leg is in swing, so
     stance references are untouched and the MPC's own contact constraints
-    keep the planted foot where it landed."""
+    keep the planted foot where it landed.
+
+    ``pos_deadband``/``vel_deadband`` soft-threshold the errors before the
+    gains (dz(v) = sign(v) max(|v|-db, 0)): capture then acts as a RECOVERY
+    reflex that engages only on large perturbations and traces out exactly
+    zero in nominal locomotion.  Measured on H1 (chip, B=64 randomized
+    walking): without deadbands the always-on bias destabilizes the nominal
+    in-place trot and fights commanded arc turns; with 0.04 m / 0.12 m/s the
+    nominal envelopes are untouched while jittered-scenario survival keeps
+    the capture gain."""
 
     left_index: int  # hip-roll index within joint_names (left leg)
     right_index: int
@@ -121,6 +130,8 @@ class CaptureConfig:
     max_offset: float = 0.3  # rad clip on the reference offset
     sign: float = 1.0  # +1 when +hip-roll moves the foot toward body +y
     decay: float = 0.4  # [s] horizon decay of the offset (build_refs dq_decay)
+    pos_deadband: float = 0.0  # [m] soft threshold on e_y (0 = always on)
+    vel_deadband: float = 0.0  # [m/s] soft threshold on edot_y
 
 
 @dataclasses.dataclass
@@ -308,6 +319,8 @@ def load_task_config(
                 max_offset=info.get_scalar(t, "captureStepping.maxOffset", 0.3),
                 sign=info.get_scalar(t, "captureStepping.sign", 1.0),
                 decay=info.get_scalar(t, "captureStepping.decay", 0.4),
+                pos_deadband=info.get_scalar(t, "captureStepping.posDeadband", 0.0),
+                vel_deadband=info.get_scalar(t, "captureStepping.velDeadband", 0.0),
             )
             print(
                 f"[config] captureStepping: {lname}/{rname} "

@@ -36,8 +36,13 @@ def capture_dq_from_state(cap, nj: int, x, x_ref):
     ve = x[0:2] - x_ref[0:2]  # world CoM-velocity error (h/m)
     e_y = -s * pe[0] + c * pe[1]  # body-frame lateral components
     edot_y = -s * ve[0] + c * ve[1]
+    # soft deadband: capture is a recovery reflex — exactly zero in nominal
+    # locomotion, full-gain beyond the threshold (CaptureConfig docstring)
+    dz = lambda v, db: jnp.sign(v) * jnp.maximum(jnp.abs(v) - db, 0.0)
     dq = cap.sign * jnp.clip(
-        cap.kp * e_y + cap.kv * edot_y, -cap.max_offset, cap.max_offset
+        cap.kp * dz(e_y, cap.pos_deadband) + cap.kv * dz(edot_y, cap.vel_deadband),
+        -cap.max_offset,
+        cap.max_offset,
     )
     z = jnp.zeros(nj, x.dtype)
     return jnp.stack([z.at[cap.left_index].set(dq), z.at[cap.right_index].set(dq)])
