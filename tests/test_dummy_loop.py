@@ -83,13 +83,18 @@ def test_h1_trot_golden_regression(h1_iface):
     mpc = MpcRunner(iface)
     mpc.rm.set_gait(iface.task.gait_library["trot"], start_time=0.1)
     res = run_dummy_loop(iface, mpc, jnp.asarray(iface.initial_state), duration=0.5)
-    # regenerated 2026-08-20: upper-body joints now weld at the held pose
-    # (defaultUpperJointState) instead of zero — see make_interface
+    # regenerated 2026-08-22: H1 gained a captureStepping block in
+    # configs/h1/overrides.info (round-4 survival work) — trot weight-shift
+    # sway crosses the capture velocity deadband (0.12 m/s) for brief
+    # stretches, so the hip-roll recovery bias now perturbs the nominal
+    # endpoint slightly (max shift 0.023 on base roll; z unchanged at 0.928).
+    # Previous regeneration 2026-08-20: upper-body joints weld at the held
+    # pose (defaultUpperJointState) instead of zero — see make_interface.
     golden = np.array(
         [
-            -0.1893045430, -0.4585390541, -0.1156634608, 0.0056122609,
-            -0.0048277125, 0.0013638529, -0.0555271107, -0.1057885653,
-            0.9270552855, -0.0027163760, -0.0135885974, 0.0275897749,
+            -0.1907469608, -0.4667687502, -0.1135256063, -0.0032729543,
+            -0.0038241002, 0.0006070052, -0.0556667631, -0.1030173713,
+            0.9279477698, 0.0113393959, -0.0128184404, 0.0501781959,
         ]
     )
     np.testing.assert_allclose(res.states[-1, :12], golden, atol=2e-3)
