@@ -80,11 +80,19 @@ def cmd_sim(args):
 
     iface = make_interface_for(args.robot)
     assets = get_assets(args.robot)
-    if not assets.mjcf:
-        print(f"no MJCF scene registered for {args.robot}", file=sys.stderr)
-        return 1
+    mjcf = assets.mjcf
+    if not mjcf:
+        # no vendor scene (e.g. Hunter): generate one from the URDF, with
+        # the per-robot actuator model (simulation.jointArmature) applied
+        from .sim.urdf_mjcf import build_mjcf_scene_from_urdf
+
+        mjcf = build_mjcf_scene_from_urdf(
+            assets.urdf, list(iface.task.joint_names),
+            armature=iface.task.sim_joint_armature,
+        )
+        print(f"generated scene: {mjcf}")
     sim = MujocoSimBackend(
-        assets.mjcf, list(iface.task.joint_names),
+        mjcf, list(iface.task.joint_names),
         MujocoSimConfig(command_delay_s=args.delay),
     )
     upper = {}

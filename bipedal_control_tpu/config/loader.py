@@ -175,6 +175,18 @@ class TaskConfig:
     extra_frames: dict = dataclasses.field(default_factory=dict)
     # optional lateral capture stepping (captureStepping block, overrides.info)
     capture: CaptureConfig | None = None
+    # per-robot TPU matmul-precision deployment knob (utils/precision.py;
+    # top-level `matmulPrecision` key, usually authored in overrides.info).
+    # None = framework default (full float32). Env BIPEDAL_MATMUL_PRECISION
+    # still wins for one-off experiments.
+    matmul_precision: str | None = None
+    # per-robot plant-actuator model for GENERATED MuJoCo scenes
+    # (`simulation { jointArmature x }`, overrides.info): reflected rotor
+    # inertia added to every leg joint by sim/urdf_mjcf.py.  The role Gazebo
+    # transmissions fill for the reference (create_urdf_for_gazebo.py); 0.0
+    # = trust the URDF.  Hunter NEEDS ~0.01 kg m^2 (its URDF ships zero
+    # reflected inertia; see configs/hunter/overrides.info).
+    sim_joint_armature: float = 0.0
 
     @property
     def num_joints(self) -> int:
@@ -372,6 +384,8 @@ def load_task_config(
         target_rotation_velocity=info.get_scalar(r, "targetRotationVelocity", 0.3),
         extra_frames=extra_frames,
         capture=capture,
+        matmul_precision=info.get_string(t, "matmulPrecision", "") or None,
+        sim_joint_armature=info.get_scalar(t, "simulation.jointArmature", 0.0),
     )
     # initial mode schedule + default gait template
     init_modes = [

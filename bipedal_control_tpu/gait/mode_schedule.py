@@ -165,6 +165,122 @@ def extract_contact_flags(mode_sequence: list[int]) -> np.ndarray:
     return MODE_CONTACTS[np.asarray(mode_sequence, dtype=int)]
 
 
+class LegPhase(NamedTuple):
+    """Normalized phase within the current contact/swing interval.
+
+    phase in [0, 1] inside an interval (NaN-duration legs report -1), and
+    duration is +inf for the half-open boundary intervals — the LegLogic.h
+    LegPhase contract (LegLogic.cpp:104-187)."""
+
+    phase: float
+    duration: float
+
+
+class PhaseTiming(NamedTuple):
+    """One contact (or swing) interval; open ends are NaN, exactly like the
+    reference's ContactTiming/SwingTiming (LegLogic.h): the first interval
+    has no recorded start if the schedule begins inside it, the last no end
+    if the schedule ends inside it."""
+
+    start: float
+    end: float
+
+
+def leg_contact_flags(mode_sequence: list[int]) -> np.ndarray:
+    """(num_phases, 2) bool per LEG (left, right) — modeNumber2StanceLeg
+    collapsed over each leg's toe/heel pair (both contacts of a leg share
+    the mode's stance assignment under the biped mode set)."""
+    flags = extract_contact_flags(mode_sequence)
+    return np.stack([flags[:, 0] | flags[:, 1], flags[:, 2] | flags[:, 3]], axis=1)
+
+
+def _extract_timings(event_times, flags, want) -> list[PhaseTiming]:
+    """Run-length scan of the phase flags: one PhaseTiming per maximal run
+    with flag == want (LegLogic.cpp extractContactTimings/extractSwingTimings
+    semantics, done as a single numpy diff pass instead of nested loops)."""
+    flags = np.asarray(flags, dtype=bool)
+    ev = np.asarray(event_times, dtype=float)
+    n = flags.size
+    if n == 0:
+        return []
+    # run starts: phase 0 or a flip from the previous phase
+    starts = np.flatnonzero(np.concatenate([[True], flags[1:] != flags[:-1]]))
+    out = []
+    for si, s in enumerate(starts):
+        if flags[s] != want:
+            continue
+        e = starts[si + 1] - 1 if si + 1 < starts.size else n - 1
+        start_t = ev[s - 1] if s > 0 else np.nan
+        end_t = ev[e] if e + 1 < n else np.nan
+        out.append(PhaseTiming(start_t, end_t))
+    return out
+
+
+def extract_contact_timings_per_leg(schedule: ModeSchedule) -> list[list[PhaseTiming]]:
+    """Per leg [left, right]: the contact intervals of the schedule
+    (LegLogic.cpp:190-203)."""
+    leg_flags = leg_contact_flags(schedule.mode_sequence)
+    return [
+        _extract_timings(schedule.event_times, leg_flags[:, leg], True)
+        for leg in range(NUM_LEGS)
+    ]
+
+
+def extract_swing_timings_per_leg(schedule: ModeSchedule) -> list[list[PhaseTiming]]:
+    """Per leg [left, right]: the swing intervals (LegLogic.cpp:206-219)."""
+    leg_flags = leg_contact_flags(schedule.mode_sequence)
+    return [
+        _extract_timings(schedule.event_times, leg_flags[:, leg], False)
+        for leg in range(NUM_LEGS)
+    ]
+
+
+def _phase_in(t: float, timings: list[PhaseTiming]) -> LegPhase:
+    """Shared phase lookup (LegLogic.cpp:104-187): boundary intervals are
+    half-open (phase saturates at 1 entering / 0 leaving with inf duration),
+    interior lookups interpolate, and 'never in this phase type' is -1."""
+    if not timings:
+        return LegPhase(-1.0, float("nan"))
+    first, last = timings[0], timings[-1]
+    if np.isnan(first.start) and t <= first.end:
+        return LegPhase(1.0, float("inf"))
+    if np.isnan(last.end) and t >= last.start:
+        return LegPhase(0.0, float("inf"))
+    for tm in timings:
+        if not np.isnan(tm.start) and not np.isnan(tm.end) and tm.start <= t <= tm.end:
+            dur = tm.end - tm.start
+            return LegPhase((t - tm.start) / dur, dur)
+    return LegPhase(-1.0, float("nan"))
+
+
+def get_contact_phase_per_leg(t: float, schedule: ModeSchedule) -> list[LegPhase]:
+    """Per leg: normalized contact phase at time t (LegLogic.cpp:104-142)."""
+    return [_phase_in(t, tm) for tm in extract_contact_timings_per_leg(schedule)]
+
+
+def get_swing_phase_per_leg(t: float, schedule: ModeSchedule) -> list[LegPhase]:
+    """Per leg: normalized swing phase at time t (LegLogic.cpp:147-187)."""
+    return [_phase_in(t, tm) for tm in extract_swing_timings_per_leg(schedule)]
+
+
+def get_time_of_next_lift_off(t: float, contact_timings: list[PhaseTiming]) -> float:
+    """First contact end after t, NaN when the leg never lifts off again
+    (LegLogic.cpp:225-233)."""
+    for tm in contact_timings:
+        if not np.isnan(tm.end) and tm.end > t:
+            return tm.end
+    return float("nan")
+
+
+def get_time_of_next_touch_down(t: float, contact_timings: list[PhaseTiming]) -> float:
+    """First contact start after t, NaN when the leg never touches down
+    again (LegLogic.cpp:238-246)."""
+    for tm in contact_timings:
+        if not np.isnan(tm.start) and tm.start > t:
+            return tm.start
+    return float("nan")
+
+
 def swing_phase_bounds(contact_flags_per_phase: np.ndarray) -> list[tuple[int, int]]:
     """Per phase: (start_event_idx, final_event_idx) of the enclosing swing
     window for one leg (SwingTrajectoryPlanner::findIndex semantics).
@@ -211,6 +327,42 @@ class GaitTable(NamedTuple):
     def contact_flags_at(self, t):
         """(4,) float mask — differentiably constant, statically shaped."""
         return self.contacts[self.phase_index(t)]
+
+    def leg_contacts(self):
+        """(P+1, 2) per-LEG contact flags (toe/heel collapsed — both share
+        the mode's stance assignment under the biped mode set)."""
+        c = self.contacts
+        return jnp.stack(
+            [jnp.maximum(c[:, 0], c[:, 1]), jnp.maximum(c[:, 2], c[:, 3])], axis=1
+        )
+
+    def next_touchdown_per_leg(self, t):
+        """(2,) time of each leg's next swing->contact switch strictly after
+        t — the jittable getTimeOfNextTouchDown (LegLogic.cpp:238-246), as a
+        masked min over the padded event table instead of an early-exit loop
+        (static shapes; +inf stands in for the reference's 'never' NaN,
+        which composes with downstream min/clip where NaN would poison)."""
+        lc = self.leg_contacts() > 0.5  # (P+1, 2)
+        switch = (~lc[:-1]) & lc[1:]  # (P, 2): event i touches leg j down
+        cand = jnp.where(
+            switch & (self.event_times[:, None] > t),
+            self.event_times[:, None],
+            jnp.inf,
+        )
+        return cand.min(axis=0)
+
+    def next_liftoff_per_leg(self, t):
+        """(2,) time of each leg's next contact->swing switch strictly after
+        t (jittable getTimeOfNextLiftOff, LegLogic.cpp:225-233; +inf for
+        'never')."""
+        lc = self.leg_contacts() > 0.5
+        switch = lc[:-1] & (~lc[1:])
+        cand = jnp.where(
+            switch & (self.event_times[:, None] > t),
+            self.event_times[:, None],
+            jnp.inf,
+        )
+        return cand.min(axis=0)
 
 
 def freeze_mode_schedule(schedule: ModeSchedule, max_phases: int) -> GaitTable:

@@ -35,6 +35,14 @@ class SwingConfig:
     swing_height: float = 0.05
     touchdown_after_horizon: float = 0.2  # parsed for parity; OCS2 planner ignores it too
     swing_time_scale: float = 0.15
+    # apex = min(lo, td) + swingHeight is the reference formula
+    # (SwingTrajectoryPlanner.cpp:107) — but it was only ever run with
+    # lo == td == 0 (terrainHeight hardcoded 0).  Stepping UP a dh riser it
+    # leaves swingHeight - dh of clearance over the upper surface, and the
+    # swing toe strikes the riser edge on any foothold-prediction error
+    # (measured: H1 tips at a 6 cm step's edge).  True terrain use wants
+    # apex above the HIGHER surface; identical on flat ground.
+    apex_over_max_height: bool = False
 
 
 def _cubic_coeffs(t0, p0, v0, t1, p1, v1):
@@ -127,7 +135,8 @@ def plan_swing_table(
             t0, t1 = ev[start_idx], ev[final_idx]
             scaling = swing_trajectory_scaling(t0, t1, config.swing_time_scale)
             mid_t = 0.5 * (t0 + t1)
-            apex = min(lo_h, td_h) + scaling * config.swing_height
+            base_h = max(lo_h, td_h) if config.apex_over_max_height else min(lo_h, td_h)
+            apex = base_h + scaling * config.swing_height
             coeffs[c, p, 0] = _cubic_coeffs(
                 t0, lo_h, scaling * config.lift_off_velocity, mid_t, apex, 0.0
             )

@@ -65,6 +65,17 @@ class RobotInterface:
             if len(tpl.mode_sequence) > 1 and tpl.duration > 0:
                 min_phase = min(min_phase, tpl.duration / len(tpl.mode_sequence))
         needed = int(np.ceil(3.0 * self.task.mpc.time_horizon / max(min_phase, 1e-3))) + 8
+        # body-frame contact xy offsets at the nominal pose (for the terrain
+        # feed's foot-placement prediction; yaw-rotated at query time)
+        from .model.kinematics import forward_kinematics, frame_position
+
+        kin = forward_kinematics(self.model, np.asarray(x0)[6:])
+        offsets = np.stack(
+            [
+                np.asarray(frame_position(self.model, kin, fid))[:2] - x0[6:8]
+                for fid in self.info.contact_frame_ids
+            ]
+        )
         return ReferenceManager(
             gait_schedule=gait,
             swing_config=self.task.swing,
@@ -72,6 +83,7 @@ class RobotInterface:
             horizon=self.task.mpc.time_horizon,
             num_intervals=self.settings.num_intervals,
             max_phases=max(24, needed),
+            foot_xy_offsets=offsets,
         )
 
 

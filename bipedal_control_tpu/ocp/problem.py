@@ -99,7 +99,10 @@ class OcpSettings:
     # math, whole-backward-sweep TPU kernel over the scenario batch — the
     # production batched path, ops/pallas_riccati.py), "parallel"
     # (associative scan, O(log N) depth; **f64 only**), or "parallel_sqrt"
-    # (square-root associative scan, f32-capable — solver/parallel_riccati.py)
+    # (square-root associative scan, f32-capable — solver/parallel_riccati.py;
+    # the f32 claim REQUIRES full-f32 matmul precision (the framework
+    # default, utils/precision.py) — under raw bf16 dots the factor chain
+    # collapses, see the module docstring's closed-loop validation)
     riccati: str = "sequential"
     riccati_penalty: float = 1e6  # parallel backends only (use ~1e4 for f32)
     # Line-search merit backend: "xla" (vmapped node_eval) or "pallas"

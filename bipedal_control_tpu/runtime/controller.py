@@ -95,10 +95,17 @@ def wbc_config_from_task(task) -> WbcTaskConfig:
 
 
 class BipedalController:
-    def __init__(self, iface: RobotInterface, cfg: ControllerConfig | None = None):
+    def __init__(
+        self,
+        iface: RobotInterface,
+        cfg: ControllerConfig | None = None,
+        reference_manager=None,
+    ):
         self.iface = iface
         self.cfg = cfg or ControllerConfig()
-        self.mpc = MpcRunner(iface)
+        # an externally built manager carries deployment state the default
+        # lacks (e.g. a terrain_fn sampled from the world — sim/terrain.py)
+        self.mpc = MpcRunner(iface, reference_manager=reference_manager)
         self.wbc_cfg = wbc_config_from_task(iface.task)
         if self.cfg.weight_base_accel is not None:
             self.wbc_cfg = dataclasses.replace(
@@ -145,7 +152,7 @@ class BipedalController:
 
             @jax.jit
             def _wbc(x_des, u_des, rbd, flags):
-                with default_matmul_precision():
+                with default_matmul_precision(getattr(iface.task, "matmul_precision", None)):
                     return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
 
             self._wbc = _wbc
@@ -256,10 +263,11 @@ class BipedalController:
             self.host_wbc.replace_config(self.wbc_cfg)
         else:
             model, info, wbc_cfg = self.iface.model, self.iface.info, self.wbc_cfg
+            _mm = getattr(self.iface.task, "matmul_precision", None)
 
             @jax.jit
             def _wbc(x_des, u_des, rbd, flags):
-                with default_matmul_precision():
+                with default_matmul_precision(_mm):
                     return wbc_update(model, info, wbc_cfg, x_des, u_des, rbd, flags)
 
             self._wbc = _wbc

@@ -141,9 +141,11 @@ class MpcRunner:
 
         # Full-f32 matmuls: on TPU the bf16 dot default degrades the stage-KKT
         # and physics algebra (utils/precision.py; SCENARIOS_r04.json sweep).
+        _mm = getattr(iface.task, "matmul_precision", None)
+
         @jax.jit
         def _replan_cold(gait, swing, target, t_nodes, x_init):
-            with default_matmul_precision():
+            with default_matmul_precision(_mm):
                 dq = _capture_dq(target, t_nodes, x_init)
                 refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
                 xs, us = initial_trajectory(info, refs, x_init, num_nodes)
@@ -151,7 +153,7 @@ class MpcRunner:
 
         @jax.jit
         def _replan_warm(gait, swing, target, t_nodes, x_init, prev_t, prev_xs, prev_us):
-            with default_matmul_precision():
+            with default_matmul_precision(_mm):
                 dq = _capture_dq(target, t_nodes, x_init)
                 refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
                 xs, us = warm_start_trajectories(prev_t, prev_xs, prev_us, t_nodes)

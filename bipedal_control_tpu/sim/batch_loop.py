@@ -16,8 +16,16 @@ Deviations from the host loop, by design (documented, not hidden):
   precomputed host-side for every replan index at build time (the episode
   schedule is known up front) and indexed inside the scan — the snapping
   logic itself (reference/manager.py::build_time_grid) never runs in jit;
-- there is no safety-stop branching (fallen scenarios keep integrating;
-  the caller filters by final posture).
+- safety stop is a freeze-on-fall guard rather than the host loop's
+  controller-stop branch (runtime/safety.py; SafetyChecker.h:23-52): once a
+  scenario is detected fallen (base below ``fall_z_frac`` of its nominal
+  standing height, tilt beyond ``fall_tilt``, or any non-finite state) its
+  plant state is HELD at the last finite pre-fall snapshot for the rest of
+  the episode.  vmapped lanes cannot branch, so the cascade still computes
+  for frozen lanes, but post-fall numerics can no longer blow up to NaN and
+  pollute the batch statistics (finite_frac < 1 in SCENARIOS_r04 was
+  entirely this).  Survival stats are unchanged by construction: a frozen
+  lane is frozen *because* it is fallen, so it counts dead either way.
 """
 from __future__ import annotations
 
@@ -50,6 +58,13 @@ class BatchLoopConfig:
     joint_kp: float = 80.0
     joint_kd: float = 5.0
     sim: JaxSimConfig = dataclasses.field(default_factory=JaxSimConfig)
+    # freeze-on-fall guard (module docstring): fallen = base z below
+    # fall_z_frac * nominal standing height, OR |roll|+|pitch| > fall_tilt,
+    # OR non-finite state.  Set freeze_on_fall=False for the legacy
+    # keep-integrating semantics.
+    freeze_on_fall: bool = True
+    fall_z_frac: float = 0.5
+    fall_tilt: float = 1.5
 
 
 class BatchLoopResult(NamedTuple):
@@ -57,6 +72,7 @@ class BatchLoopResult(NamedTuple):
     base_z_min: jnp.ndarray  # (B,) min base height over the episode
     tilt_max: jnp.ndarray  # (B,) max |roll|+|pitch| over the episode
     defect_last: jnp.ndarray  # (B,) last replan's dynamics defect
+    fell: jnp.ndarray  # (B,) bool — freeze-on-fall guard tripped
 
 
 def make_batched_closed_loop(
@@ -159,6 +175,22 @@ def make_batched_closed_loop(
         )
     )  # (n_replans, N+1)
 
+    # nominal standing height for the fall detector (static, host-side)
+    z_fall = cfg.fall_z_frac * float(np.asarray(iface.initial_state)[8])
+
+    def _is_fallen(sim_s):
+        geom = (sim_s.q[2] < z_fall) | (
+            jnp.abs(sim_s.q[4]) + jnp.abs(sim_s.q[5]) > cfg.fall_tilt
+        )
+        return geom | ~_is_finite(sim_s)
+
+    def _is_finite(sim_s):
+        return (
+            jnp.all(jnp.isfinite(sim_s.q))
+            & jnp.all(jnp.isfinite(sim_s.v))
+            & jnp.all(jnp.isfinite(sim_s.anchor))
+        )
+
     def episode(x0):
         from .jax_physics import initial_sim_state
 
@@ -180,7 +212,7 @@ def make_batched_closed_loop(
         sol0 = sqp_solve(model, info, settings, Q, R, refs0, t_nodes0, x_obs0, xs0, us0)
 
         def replan_body(carry, k):
-            sim_state, t_nodes_prev, xs_prev, us_prev = carry
+            sim_state, fallen, t_nodes_prev, xs_prev, us_prev = carry
             t0 = k * cfg.replan_dt
             t_nodes = grids[k]
             x_obs = obs(sim_state)
@@ -195,7 +227,7 @@ def make_batched_closed_loop(
             sol = sqp_solve(model, info, settings, Q, R, refs, t_nodes, x_obs, xs, us)
 
             def tick_body(carry2, j):
-                sim_s = carry2
+                sim_s, down = carry2
                 t = t0 + j * cfg.control_dt
                 rbd = rbd_state_from_sim(model, sim_s)
                 x_obs_t = obs(sim_s)
@@ -216,33 +248,46 @@ def make_batched_closed_loop(
                     )
                     return s2, None
 
-                sim_s, _ = jax.lax.scan(sub_body, sim_s, None, length=n_sub)
+                sim_new, _ = jax.lax.scan(sub_body, sim_s, None, length=n_sub)
+                if cfg.freeze_on_fall:
+                    # hold the last finite snapshot once fallen (vmapped
+                    # lanes cannot branch, so this is a select, not a skip)
+                    bad = ~_is_finite(sim_new)
+                    sim_new = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(down | bad, a, b), sim_s, sim_new
+                    )
+                    down = down | bad | _is_fallen(sim_new)
                 metrics = jnp.array(
-                    [sim_s.q[2], jnp.abs(sim_s.q[4]) + jnp.abs(sim_s.q[5])]
+                    [sim_new.q[2], jnp.abs(sim_new.q[4]) + jnp.abs(sim_new.q[5])]
                 )
-                return sim_s, metrics
+                return (sim_new, down), metrics
 
-            sim_state, metrics = jax.lax.scan(
-                tick_body, sim_state, jnp.arange(n_ticks)
+            (sim_state, fallen), metrics = jax.lax.scan(
+                tick_body, (sim_state, fallen), jnp.arange(n_ticks)
             )
-            return (sim_state, t_nodes, sol.x_traj, sol.u_traj), (
+            return (sim_state, fallen, t_nodes, sol.x_traj, sol.u_traj), (
                 metrics[:, 0].min(),
                 metrics[:, 1].max(),
                 sol.defect_norm,
             )
 
-        (sim, _, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
-            replan_body, (sim, t_nodes0, sol0.x_traj, sol0.u_traj), jnp.arange(n_replans)
+        fallen0 = jnp.asarray(False)
+        (sim, fell, _, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
+            replan_body,
+            (sim, fallen0, t_nodes0, sol0.x_traj, sol0.u_traj),
+            jnp.arange(n_replans),
         )
-        return sim, zmins.min(), tiltmaxs.max(), defects[-1]
+        return sim, zmins.min(), tiltmaxs.max(), defects[-1], fell
 
     def run(x0_batch):
         # Full-f32 matmuls: on TPU the bf16 dot default HALVES randomized
         # walking survival (utils/precision.py; SCENARIOS_r04.json sweep).
-        with default_matmul_precision():
-            sims, zmin, tilt, defect = jax.vmap(episode)(x0_batch)
+        # Per-robot matmulPrecision (overrides.info) can retune it.
+        with default_matmul_precision(getattr(iface.task, "matmul_precision", None)):
+            sims, zmin, tilt, defect, fell = jax.vmap(episode)(x0_batch)
         return BatchLoopResult(
-            final_state=sims, base_z_min=zmin, tilt_max=tilt, defect_last=defect
+            final_state=sims, base_z_min=zmin, tilt_max=tilt, defect_last=defect,
+            fell=fell,
         )
 
     return jax.jit(run)

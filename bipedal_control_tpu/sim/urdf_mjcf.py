@@ -31,7 +31,7 @@ def build_mjcf_scene_from_urdf(
     foot_link_substr: str = "_f",
     foot_radius: float = 0.0075,
     timestep: float = 0.001,
-    armature: float = 0.01,
+    armature: float = 0.0,
 ) -> str:
     """Returns the path of the generated scene XML."""
     import mujoco
@@ -124,12 +124,14 @@ def build_mjcf_scene_from_urdf(
             for geom in body.findall("geom"):
                 geom.set("contype", "0")
                 geom.set("conaffinity", "0")
-    # Reflected motor inertia on the actuated joints: the URDF carries none
-    # (<dynamics damping="0.0">), so contact impacts ring the gram-scale
-    # shank/foot links at 200+ rad/s single-step velocity spikes — real
-    # geared actuators are dominated by rotor inertia, which damps exactly
-    # this mode (measured: the spikes drive torque-clip chatter that pumps
-    # the robot off the ground at lift-off).
+    # Reflected motor inertia on the actuated joints — a per-robot CONFIG
+    # knob (`simulation { jointArmature x }` in overrides.info, default 0.0
+    # = trust the URDF), not a silent generator constant: Hunter's URDF
+    # carries none (<dynamics damping="0.0">), so contact impacts ring the
+    # gram-scale shank/foot links at 200+ rad/s single-step velocity spikes
+    # — real geared actuators are dominated by rotor inertia, which damps
+    # exactly this mode (measured: the spikes drive torque-clip chatter
+    # that pumps the robot off the ground at lift-off).
     if armature > 0.0:
         for joint in root.iter("joint"):
             if joint.get("name") in joint_names:

@@ -32,7 +32,16 @@ functions are too ill-conditioned for single precision.
 `solve_lqr_parallel` therefore raises on f32 input.
 
 **Square-root composition (f32-capable).** `solve_lqr_parallel_sqrt` keeps
-C = U U^T and J = Z Z^T in factor form through the scan.  With W = U1^T Z2
+C = U U^T and J = Z Z^T in factor form through the scan.  The f32 claim is
+validated in the full on-device closed-loop cascade, with two caveats that
+ARE part of the claim (SCENARIOS_r04 recorded 0% survival before they were
+understood): it needs (a) full-f32 matmul precision — under XLA:TPU's
+default single-pass-bf16 dot lowering the factor QR chain collapses — and
+(b) the batch loop's freeze-on-fall guard, without which post-fall
+divergence pollutes the whole lane.  With both (the framework defaults
+since round 5), randomized-walking survival at standard jitter is 0.625 vs
+the sequential backend's 0.531 (B=64, chip, SCENARIOS_r05.json
+riccati_backend row).  With W = U1^T Z2
 and the push-through identity,
 
     (I + C1 J2)^{-1} C1 = U1 (I + W W^T)^{-1} U1^T

@@ -17,12 +17,15 @@ performance win:
 
 All production jit entry points (sim/batch_loop, runtime/mpc_runner,
 bench.py) therefore trace under :func:`default_matmul_precision`, which is
-full ``float32`` unless overridden via ``BIPEDAL_MATMUL_PRECISION``
-(e.g. "bfloat16" to recover the raw XLA default, "bfloat16_3x" for the
-3-pass compromise).
+full ``float32`` unless overridden.  Precedence: the
+``BIPEDAL_MATMUL_PRECISION`` env var (explicit experiment override) beats a
+per-robot ``matmulPrecision`` key in task.info/overrides.info (deployment
+config, config/loader.py) beats the "float32" default.  Valid values:
+"float32", "bfloat16_3x" (3-pass compromise), "bfloat16" (raw XLA default).
 
-There is no analogue in the CUDA reference (TF32 tensor cores are opt-IN
-under torch/CUDA); this is a TPU-specific deployment rule.
+There is no analogue in the reference (CPU/ROS C++ on Eigen doubles never
+faces a reduced-precision matrix unit); this is a TPU-specific deployment
+rule.
 """
 from __future__ import annotations
 
@@ -31,11 +34,15 @@ import os
 import jax
 
 
-def matmul_precision() -> str:
-    """The configured precision name (env ``BIPEDAL_MATMUL_PRECISION``)."""
-    return os.environ.get("BIPEDAL_MATMUL_PRECISION", "float32")
+def matmul_precision(configured: str | None = None) -> str:
+    """The effective precision name (env > per-robot config > default)."""
+    return os.environ.get("BIPEDAL_MATMUL_PRECISION") or configured or "float32"
 
 
-def default_matmul_precision():
-    """Context manager: trace enclosed ops at the configured precision."""
-    return jax.default_matmul_precision(matmul_precision())
+def default_matmul_precision(configured: str | None = None):
+    """Context manager: trace enclosed ops at the effective precision.
+
+    ``configured`` is the per-robot task value (TaskConfig.matmul_precision)
+    where the caller has an interface in scope; entry points without one use
+    the plain default."""
+    return jax.default_matmul_precision(matmul_precision(configured))

@@ -32,7 +32,8 @@ def test_hunter_fk_com_momentum_vs_mujoco(tmp_path):
     iface = make_interface_for("hunter")
     model = iface.model
     scene = build_mjcf_scene_from_urdf(
-        URDF, list(iface.task.joint_names), out_path=str(tmp_path / "scene.xml")
+        URDF, list(iface.task.joint_names),
+        armature=iface.task.sim_joint_armature, out_path=str(tmp_path / "scene.xml")
     )
     m = mujoco.MjModel.from_xml_path(scene)
     d = mujoco.MjData(m)

@@ -30,7 +30,8 @@ def test_hunter_scene_builds_and_steps(tmp_path):
 
     iface = make_interface_for("hunter")
     scene = build_mjcf_scene_from_urdf(
-        URDF, list(iface.task.joint_names), out_path=str(tmp_path / "hunter_scene.xml")
+        URDF, list(iface.task.joint_names),
+        armature=iface.task.sim_joint_armature, out_path=str(tmp_path / "hunter_scene.xml")
     )
     sim = MujocoSimBackend(scene, list(iface.task.joint_names), MujocoSimConfig())
     assert sim.model.nu == iface.info.nj  # one torque motor per leg joint
@@ -97,7 +98,8 @@ def test_hunter_stands_closed_loop(tmp_path):
 
     iface = make_interface_for("hunter")
     scene = build_mjcf_scene_from_urdf(
-        URDF, list(iface.task.joint_names), out_path=str(tmp_path / "hunter_scene.xml")
+        URDF, list(iface.task.joint_names),
+        armature=iface.task.sim_joint_armature, out_path=str(tmp_path / "hunter_scene.xml")
     )
     sim = MujocoSimBackend(scene, list(iface.task.joint_names), MujocoSimConfig())
     x0 = np.asarray(iface.initial_state)
@@ -141,9 +143,13 @@ def test_hunter_steps_and_walks(tmp_path):
     URDF's gram-scale shank/foot links ring 200+ rad/s velocity spikes at
     contact impacts, and the PD's clipped damping response pumps the 11 kg
     robot airborne within 0.15 s of the first lift-off.  Joint armature
-    (sim/urdf_mjcf.py, 0.01 kg m^2 — a physical property of any geared
-    actuator) removes the mode; no observation filtering or gain retuning
-    needed.  Measured 2026-08-21: fast_trot steps in place indefinitely
+    (0.01 kg m^2 via the simulation.jointArmature overrides.info knob — a
+    physical property of any geared actuator) removes the mode; no
+    observation filtering or gain retuning needed.  Sensitivity (measured
+    2026-08-22, /tmp armature sweep: same walk at armature 0.003 / 0.005 /
+    0.02): v_track 0.97 and |y| < 0.1 at EVERY value — the fix is not a
+    tuned constant, any nonzero reflected inertia in the physical range
+    kills the chatter mode (zero is the pathological URDF value).  Measured 2026-08-21: fast_trot steps in place indefinitely
     (pitch/roll within +-0.03), and with CmdVelFollower at cmd 0.2 m/s the
     robot covers 1.04 m in ~5 s of walking — ~100% velocity tracking —
     with |y| < 0.08.  This test walks 5.5 s and asserts the tracking
@@ -157,7 +163,8 @@ def test_hunter_steps_and_walks(tmp_path):
 
     iface = make_interface_for("hunter")
     scene = build_mjcf_scene_from_urdf(
-        URDF, list(iface.task.joint_names), out_path=str(tmp_path / "hunter_scene.xml")
+        URDF, list(iface.task.joint_names),
+        armature=iface.task.sim_joint_armature, out_path=str(tmp_path / "hunter_scene.xml")
     )
     sim = MujocoSimBackend(scene, list(iface.task.joint_names), MujocoSimConfig())
     x0 = np.asarray(iface.initial_state)
@@ -226,7 +233,8 @@ def test_hunter_lateral_and_yaw_envelope(tmp_path):
 
     iface = make_interface_for("hunter")
     scene = build_mjcf_scene_from_urdf(
-        URDF, list(iface.task.joint_names), out_path=str(tmp_path / "hunter_scene.xml")
+        URDF, list(iface.task.joint_names),
+        armature=iface.task.sim_joint_armature, out_path=str(tmp_path / "hunter_scene.xml")
     )
     sim = MujocoSimBackend(scene, list(iface.task.joint_names), MujocoSimConfig())
     x0 = np.asarray(iface.initial_state)

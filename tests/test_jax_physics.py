@@ -177,12 +177,19 @@ def test_batched_cascade_walks_randomized(h1):
     walk the full on-device cascade for 3 s at cmd 0.3; survival = upright
     (final z > 0.8, tilt < 0.8) AND progressed (x > 0.3*cmd*T).  The
     committed survival-vs-jitter artifact at B=64 on the real chip is
-    SCENARIOS_r04.json (tools/scenario_survival.py).  Measured population
-    rates (2026-08-21): 62.5% in f64 on CPU (B=32), only ~27% in f32 on the
-    chip (precision-driven — see the artifact note).  This deterministic
-    fixed-seed B=8 draw measures 3/8 surviving and 4/8 upright (one
-    scenario stays upright but walks backward); the asserts pin those
-    deterministic floors — regression to near-zero is what they catch."""
+    SCENARIOS_r05.json (tools/scenario_survival.py).
+
+    Floor provenance (re-pinned 2026-08-22, VERDICT r4 weak #1): the H1
+    captureStepping reflex shifted this fixed-seed draw from 3/8 to 2/8
+    surviving (4/8 upright both ways) and the round-4 floor went stale/red.
+    The reflex was then A/B'd at population scale under a MATCHED config
+    (freeze-on-fall guard, f32 dots on chip / f64 on CPU): capture ON wins
+    or ties at every jitter scale on the chip (0.625/0.531/0.500/0.500 vs
+    0.609/0.516/0.406/0.406, B=64) and lifts CPU-f64 B=32 survival 0.625 ->
+    0.719 — the B=8 regression is a small-sample artifact, so capture stays
+    ON and the floors re-pin to the measured 2/8 surviving, 4/8 upright
+    (one scenario stays upright but walks backward).  Regression to
+    near-zero is what these catch."""
     from bipedal_control_tpu.sim.batch_loop import (
         BatchLoopConfig,
         make_batched_closed_loop,
@@ -202,7 +209,9 @@ def test_batched_cascade_walks_randomized(h1):
     upright = (q[:, 2] > 0.8) & (np.asarray(res.tilt_max) < 0.8)
     progressed = q[:, 0] > 0.3 * 0.3 * 3.0
     survival = np.mean(upright & progressed)
-    assert np.mean(upright) >= 0.5 and survival >= 0.3, (
+    # freeze-on-fall guard: every lane ends finite even after falling
+    assert np.all(np.isfinite(q)), q[:, 2]
+    assert np.mean(upright) >= 0.5 and survival >= 0.25, (
         f"survival {survival:.2f}, upright {np.mean(upright):.2f}; "
         f"z={q[:, 2].round(2)}, x={q[:, 0].round(2)}, "
         f"tilt={np.asarray(res.tilt_max).round(2)}"
@@ -339,3 +348,37 @@ def test_batched_cascade_hunter_walks():
     assert q[0, 2] > 0.5 and float(res.base_z_min[0]) > 0.5, q[0, :3]
     assert float(res.tilt_max[0]) < 0.4, float(res.tilt_max[0])
     assert np.isfinite(float(res.defect_last[0]))
+
+
+def test_freeze_on_fall_guard(h1):
+    """Freeze-on-fall (VERDICT r4 weak #3 / next-step #3): a lane that falls
+    is detected (fell=True) and HELD at its last finite snapshot — final
+    state finite, below the fall threshold, no NaN pollution — while a
+    nominal lane in the same batch is untouched (fell=False, stands).  The
+    guard replaces the legacy keep-integrating semantics whose post-fall
+    blowups were the entire finite_frac<1 residual in SCENARIOS_r04.json."""
+    from bipedal_control_tpu.sim.batch_loop import (
+        BatchLoopConfig,
+        make_batched_closed_loop,
+    )
+
+    iface = dataclasses.replace(
+        h1, settings=dataclasses.replace(h1.settings, dt=0.05, sqp_iterations=1)
+    )
+    run = make_batched_closed_loop(iface, BatchLoopConfig(duration=0.4))
+    x0 = np.asarray(iface.initial_state)
+    doomed = x0.copy()
+    doomed[10] = 1.2  # massive initial pitch: unrecoverable, falls in <0.4 s
+    X = jnp.asarray(np.stack([x0, doomed]))
+    res = run(X)
+    fell = np.asarray(res.fell)
+    q = np.asarray(res.final_state.q)
+    assert not fell[0] and fell[1], fell
+    # nominal lane unaffected by sharing a batch with a frozen lane
+    assert q[0, 2] > 0.85 and float(res.tilt_max[0]) < 0.35
+    # fallen lane: every field finite (the guard's whole point)...
+    assert np.all(np.isfinite(q[1])) and np.all(np.isfinite(np.asarray(res.final_state.v)[1]))
+    assert np.isfinite(float(res.defect_last[1]))
+    # ...and held at a genuinely fallen snapshot
+    z_fall = 0.5 * x0[8]
+    assert q[1, 2] < z_fall + 0.05 or abs(q[1, 4]) + abs(q[1, 5]) > 1.0, q[1, :6]

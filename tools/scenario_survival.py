@@ -54,7 +54,7 @@ def main():
         _ric._regs = lambda dtype: (d_eps, h_reg)
         print(f"reg override: dual_eps={d_eps} huu_reg={h_reg}")
 
-    h1 = make_interface_for("h1")
+    h1 = make_interface_for(os.environ.get("SURV_ROBOT", "h1"))
     riccati = os.environ.get("SURV_RICCATI", "sequential")
     rp = float(os.environ.get("SURV_RICCATI_PENALTY", "1e4"))
     iface = dataclasses.replace(
@@ -65,6 +65,32 @@ def main():
             riccati=riccati, riccati_penalty=rp,
         ),
     )
+    capture_on = os.environ.get("SURV_CAPTURE", "on") != "off"
+    if not capture_on:
+        # A/B the captureStepping recovery reflex (configs/<robot>/overrides.info)
+        iface = dataclasses.replace(
+            iface, task=dataclasses.replace(iface.task, capture=None)
+        )
+    elif iface.task.capture is not None:
+        # capture-gain lever sweeps: SURV_CAP_KV/KP/MAXOFF/POSDB/VELDB
+        cap_over = {
+            field: float(os.environ[env])
+            for field, env in (
+                ("kv", "SURV_CAP_KV"), ("kp", "SURV_CAP_KP"),
+                ("max_offset", "SURV_CAP_MAXOFF"),
+                ("pos_deadband", "SURV_CAP_POSDB"),
+                ("vel_deadband", "SURV_CAP_VELDB"),
+            )
+            if os.environ.get(env)
+        }
+        if cap_over:
+            print("capture overrides:", cap_over)
+            iface = dataclasses.replace(
+                iface,
+                task=dataclasses.replace(
+                    iface.task, capture=dataclasses.replace(iface.task.capture, **cap_over)
+                ),
+            )
     run = jax.jit(
         make_batched_closed_loop(
             iface, BatchLoopConfig(duration=duration), gait="trot", gait_at=0.2,
@@ -83,11 +109,14 @@ def main():
         "platform": jax.devices()[0].platform,
         "riccati": riccati,
         "matmul_precision": matmul_precision(),
+        "capture_stepping": capture_on and iface.task.capture is not None,
+        "sqp_iterations": iface.settings.sqp_iterations,
         "per_scale": [],
     }
     progress_min = 0.3 * cmd[0] * duration
+    seed = int(os.environ.get("SURV_SEED", "7"))
     for scale in scales:
-        X = randomized_initial_states(iface, batch, seed=7, scale=scale)
+        X = randomized_initial_states(iface, batch, seed=seed, scale=scale)
         t0 = time.time()
         res = run(X)
         q = np.asarray(res.final_state.q)
@@ -108,6 +137,7 @@ def main():
                 "upright_frac": round(float(np.mean(upright)), 4),
                 "progressed_frac": round(float(np.mean(progressed)), 4),
                 "finite_frac": round(float(np.mean(finite)), 4),
+                "fell_frac": round(float(np.mean(np.asarray(res.fell))), 4),
                 "x_mean_m": round(float(np.mean(q[finite, 0])), 3) if finite.any() else None,
                 "z_final_mean_m": round(float(np.mean(q[finite, 2])), 3) if finite.any() else None,
                 "wall_s": round(wall, 1),
@@ -115,7 +145,7 @@ def main():
         )
         print(json.dumps(out["per_scale"][-1]), flush=True)
 
-    path = os.environ.get("SURV_OUT", "SCENARIOS_r04.json")
+    path = os.environ.get("SURV_OUT", "SCENARIOS_r05.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote", path)
