@@ -132,6 +132,16 @@ class CaptureConfig:
     decay: float = 0.4  # [s] horizon decay of the offset (build_refs dq_decay)
     pos_deadband: float = 0.0  # [m] soft threshold on e_y (0 = always on)
     vel_deadband: float = 0.0  # [m/s] soft threshold on edot_y
+    # touchdownSync: evaluate the capture errors at each leg's NEXT
+    # TOUCHDOWN (LIPM-propagated with the gait table's
+    # next_touchdown_per_leg) instead of at the replan instant — the
+    # per-replan bias otherwise chases the intra-swing phase of a rocking
+    # mode it can only damp (the OpenLoong ~2 s limit cycle).
+    touchdown_sync: bool = False
+    # weightShift [m]: phase-locked base-y reference offset toward the
+    # stance foot in single support (build_refs) — pre-loads the lateral
+    # CoM transfer each stance phase instead of letting the MPC react.
+    weight_shift: float = 0.0
 
 
 @dataclasses.dataclass
@@ -333,6 +343,8 @@ def load_task_config(
                 decay=info.get_scalar(t, "captureStepping.decay", 0.4),
                 pos_deadband=info.get_scalar(t, "captureStepping.posDeadband", 0.0),
                 vel_deadband=info.get_scalar(t, "captureStepping.velDeadband", 0.0),
+                touchdown_sync=info.get_bool(t, "captureStepping.touchdownSync", False),
+                weight_shift=info.get_scalar(t, "captureStepping.weightShift", 0.0),
             )
             print(
                 f"[config] captureStepping: {lname}/{rname} "

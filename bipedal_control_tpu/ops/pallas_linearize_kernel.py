@@ -431,7 +431,7 @@ def linearize_node_lanes(sm, tb, m_total, gain, integrator, nx, nu, x, u, x_next
 
 
 # ------------------------------------------------------------------ kernel
-def _lin_kernel(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref, out_ref):
+def _lin_kernel_rows(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref):
     d = data_ref[0]
     tb = PL.tables_from_array(sm, tables_ref[...])
     x = d[0:nx]
@@ -442,10 +442,30 @@ def _lin_kernel(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref, out
     vref = d[b + 4 : b + 8]
     pref = d[b + 8 : b + 12]
     dt = d[b + 12 : b + 13]
-    rows = linearize_node_lanes(
+    return linearize_node_lanes(
         sm, tb, m_total, gain, integrator, nx, nu, x, u, xn, flags, vref, pref, dt
     )
+
+
+def _lin_kernel(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref, out_ref):
+    rows = _lin_kernel_rows(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref)
     out_ref[0] = jnp.concatenate(rows, axis=0)
+
+
+def _lin_kernel_fields(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref,
+                       a_ref, b_ref, c_ref, cc_ref, dd_ref, e_ref):
+    """Per-field output variant (the fused lanes path): each LinearizedNode
+    field writes straight to its own (1, rows, LANE) block, so no
+    whole-OUT-buffer concat + downstream slice copies (~0.4 ms/step of pure
+    HBM shuffle at B=256)."""
+    rows = _lin_kernel_rows(sm, m_total, gain, integrator, nx, nu, data_ref, tables_ref)
+    full = jnp.concatenate(rows, axis=0)  # (OUT, L) in VMEM
+    counts = [nx * nx, nx * nu, nx, 16 * nx, 16 * nu, 16]
+    refs = [a_ref, b_ref, c_ref, cc_ref, dd_ref, e_ref]
+    o = 0
+    for ref, cnt in zip(refs, counts):
+        ref[0] = full[o : o + cnt]
+        o += cnt
 
 
 def _out_rows(nx, nu):
@@ -495,6 +515,62 @@ def linearize_flat_static(sm, tables, nx, nu, robot_mass, gain, integrator,
     D = take(16 * nu).reshape(M, 16, nu)
     e = take(16)
     return {"A": A, "B": B, "c": c, "C": C, "D": D, "e": e}
+
+
+def linearize_lanes_batched(sm, tables, nx, nu, robot_mass, gain, integrator,
+                            xs, us, xns, flags, vref, pref, dt):
+    """Explicitly batched variant emitting LANE layout: (B, N, .) inputs ->
+    dict of (N, rows, cols, Bp) tensors with the scenario batch on the lane
+    axis, zero-padded to a LANE multiple.
+
+    This is the fused-path producer (solver/lanes_rti.py): the Riccati
+    kernels consume exactly this layout, so the ~120 MB/step of
+    lane->instance->lane transposes the standard path pays at the
+    linearize/Riccati seam (measured 2.6 ms/step of reshape/pad/copy glue
+    at B=256 — 39% of device time) never materializes.  Same kernel body
+    (_lin_kernel); only the grid/in/out block maps differ."""
+    dtype = xs.dtype
+    Bb, N = xs.shape[:2]
+    data = jnp.concatenate([xs, us, xns, flags, vref, pref, dt[..., None]], axis=-1)
+    R = data.shape[-1]
+    Bt = max(1, -(-Bb // LANE))
+    Bp = Bt * LANE
+    if Bp != Bb:
+        data = jnp.concatenate(
+            [data, jnp.zeros((Bp - Bb,) + data.shape[1:], dtype)], axis=0
+        )
+    # (Bp, N, R) -> (N*Bt, R, LANE): node-major lane tiles of pure batch
+    data_t = data.reshape(Bt, LANE, N, R).transpose(2, 0, 3, 1).reshape(N * Bt, R, LANE)
+    nt, nv = tables.shape
+    tables_l = jnp.broadcast_to(jnp.asarray(tables, dtype)[:, :, None], (nt, nv, LANE))
+
+    plat = jax.local_devices()[0].platform.lower()
+    interpret = plat not in ("tpu", "axon")
+    kernel = lambda d, t, *outs: _lin_kernel_fields(
+        sm, robot_mass, gain, integrator, nx, nu, d, t, *outs
+    )
+    counts = [nx * nx, nx * nu, nx, 16 * nx, 16 * nu, 16]
+    out_spec = lambda rows: pl.BlockSpec(
+        (1, rows, LANE), lambda n, j: (n, 0, j), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N, Bt),
+        in_specs=[
+            pl.BlockSpec((1, R, LANE), lambda n, j: (n * Bt + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, nv, LANE), lambda n, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec(cnt) for cnt in counts],
+        out_shape=[jax.ShapeDtypeStruct((N, cnt, Bp), dtype) for cnt in counts],
+        interpret=interpret,
+    )(data_t, tables_l)
+    A, B, c, C, D, e = outs
+    return {
+        "A": A.reshape(N, nx, nx, Bp), "B": B.reshape(N, nx, nu, Bp), "c": c,
+        "C": C.reshape(N, 16, nx, Bp), "D": D.reshape(N, 16, nu, Bp), "e": e,
+    }
 
 
 def make_node_linearizer(model, info, settings, Q, R):

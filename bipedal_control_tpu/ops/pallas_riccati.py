@@ -381,3 +381,133 @@ def riccati_solve_pallas(nodes, masks, dx0, dual_eps: float, huu_reg: float, int
     dus = jnp.moveaxis(dus_t[..., :Bb], -1, 0)  # (B, N, nu)
     dx_all = jnp.concatenate([dxs, jnp.moveaxis(dxl_t[:, :Bb], -1, 0)[:, None]], axis=1)
     return K, kk, dx_all, dus
+
+
+def riccati_solve_pallas_prelaned(
+    lanes, masks_t, dx0_t, Bb: int, dual_eps: float, huu_reg: float, interpret: bool
+):
+    """Backward sweep + forward rollout on PRE-LANED stage data.
+
+    The fused RTI path (solver/lanes_rti.py): every stage tensor arrives
+    already in this module's lane layout — (N, rows, cols, Bp) with the
+    scenario batch zero-padded onto the lane axis — as produced by
+    ops/pallas_linearize_kernel.linearize_lanes_batched and the lane-layout
+    cost quadratics.  This entry therefore runs the SAME two kernels as
+    riccati_solve_pallas with ZERO input relayout (the standard entry's
+    to_lanes/tr_lanes moveaxes are the measured 2.6 ms/step glue at B=256);
+    the only remaining transposes are the sublane-dim A^T/B^T orientation
+    swaps (lanes untouched) and the small batch-leading outputs.
+
+    lanes: dict A,B,c,C,D,e,Qxx,Quu,Qux,qx,qu; masks_t (N, ne, Bp);
+    dx0_t (nx, Bp).  Returns (K (B,N,nu,nx), k (B,N,nu), dx_all (B,N+1,nx),
+    du (B,N,nu)) sliced back to the true batch Bb.
+    """
+    A_t = lanes["A"]
+    N, nx, _, Bp = A_t.shape
+    nu = lanes["B"].shape[2]
+    ne = lanes["e"].shape[1]
+    dt = A_t.dtype
+    Quu_t = lanes["Quu"]
+    if Bp != Bb:
+        # padded lanes carry zero stage data; give them a unit Huu diagonal
+        # so the in-kernel KKT solve stays finite (same fix as to_lanes)
+        padeye = jnp.asarray(np.eye(nu), dt)[None, :, :, None] * jnp.ones(
+            (N, 1, 1, Bp - Bb), dt
+        )
+        Quu_t = jnp.concatenate([Quu_t[..., :Bb], padeye], axis=-1)
+
+    grid = (Bp // LANE, N)
+
+    def mat_spec(r, cdim):
+        return pl.BlockSpec(
+            (1, r, cdim, LANE),
+            lambda i, j: (N - 1 - j, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    def vec_spec(r):
+        return pl.BlockSpec(
+            (1, r, LANE), lambda i, j: (N - 1 - j, 0, i), memory_space=pltpu.VMEM
+        )
+
+    kern = functools.partial(_backward_kernel, nu, ne, nx, dual_eps, huu_reg)
+    K_t, k_t, KT_t = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            mat_spec(nx, nx),  # A
+            mat_spec(nx, nu),  # B
+            vec_spec(nx),  # c
+            mat_spec(ne, nx),  # C
+            mat_spec(ne, nu),  # D
+            vec_spec(ne),  # e
+            mat_spec(nx, nx),  # Qxx
+            mat_spec(nu, nu),  # Quu
+            mat_spec(nu, nx),  # Qux
+            vec_spec(nx),  # qx
+            vec_spec(nu),  # qu
+            vec_spec(ne),  # mask
+        ],
+        out_specs=[mat_spec(nu, nx), vec_spec(nu), mat_spec(nx, nu)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nu, nx, Bp), dt),
+            jax.ShapeDtypeStruct((N, nu, Bp), dt),
+            jax.ShapeDtypeStruct((N, nx, nu, Bp), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nx, nx, LANE), dt),
+            pltpu.VMEM((nx, LANE), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        A_t, lanes["B"], lanes["c"], lanes["C"], lanes["D"], lanes["e"],
+        lanes["Qxx"], Quu_t, lanes["Qux"], lanes["qx"], lanes["qu"], masks_t,
+    )
+
+    # A^T/B^T orientation: sublane-dim swap only, lanes untouched
+    AT_t = jnp.swapaxes(A_t, 1, 2)
+    BT_t = jnp.swapaxes(lanes["B"], 1, 2)
+
+    def mat_fwd(r, cdim):
+        return pl.BlockSpec(
+            (1, r, cdim, LANE), lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    def vec_fwd(r):
+        return pl.BlockSpec((1, r, LANE), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
+
+    fixed = lambda r: pl.BlockSpec((r, LANE), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+
+    dxs_t, dus_t, dxl_t = pl.pallas_call(
+        _forward_kernel,
+        grid=grid,
+        in_specs=[
+            mat_fwd(nx, nx),  # A^T
+            mat_fwd(nu, nx),  # B^T
+            vec_fwd(nx),  # c
+            mat_fwd(nx, nu),  # K^T
+            vec_fwd(nu),  # k
+            fixed(nx),  # dx0
+        ],
+        out_specs=[vec_fwd(nx), vec_fwd(nu), fixed(nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nx, Bp), dt),
+            jax.ShapeDtypeStruct((N, nu, Bp), dt),
+            jax.ShapeDtypeStruct((nx, Bp), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((nx, LANE), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(AT_t, BT_t, lanes["c"], KT_t, k_t, dx0_t)
+
+    K = jnp.moveaxis(K_t[..., :Bb], -1, 0)  # (B, N, nu, nx)
+    kk = jnp.moveaxis(k_t[..., :Bb], -1, 0)
+    dxs = jnp.moveaxis(dxs_t[..., :Bb], -1, 0)  # (B, N, nx)
+    dus = jnp.moveaxis(dus_t[..., :Bb], -1, 0)
+    dx_all = jnp.concatenate([dxs, jnp.moveaxis(dxl_t[:, :Bb], -1, 0)[:, None]], axis=1)
+    return K, kk, dx_all, dus

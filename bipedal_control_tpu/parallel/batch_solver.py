@@ -27,7 +27,19 @@ from ..utils.precision import default_matmul_precision
 
 
 def batched_sqp_solve(model, info, settings, Q, R, refs_b, t_nodes_b, x_init_b, xs_b, us_b):
-    """vmap of the full SQP over a leading scenario axis on every argument."""
+    """Batched SQP over a leading scenario axis on every argument.
+
+    Production TPU configurations (pallas linearize + riccati + merit, soft
+    cone) take the fused lane-layout path (solver/lanes_rti.py): same
+    semantics, but stage data never leaves the kernels' lane layout, saving
+    the ~120 MB/step of relayout glue the vmap/custom_vmap seam forces.
+    Everything else falls back to vmap(sqp_solve)."""
+    from ..solver.lanes_rti import _supports, make_lanes_rti_solver
+
+    if _supports(settings):
+        return make_lanes_rti_solver(model, info, settings, Q, R)(
+            refs_b, t_nodes_b, x_init_b, xs_b, us_b
+        )
     return jax.vmap(
         lambda refs, t_nodes, x_init, xs, us: sqp_solve(
             model, info, settings, Q, R, refs, t_nodes, x_init, xs, us
@@ -59,7 +71,14 @@ def make_batched_solver(
     """Compile a batch-sharded solver.  Inputs must be batched on axis 0; when
     a mesh is given the batch axis is sharded across it (batch % n_devices == 0).
     """
-    _f = partial(batched_sqp_solve, model, info, settings, Q, R)
+    from ..solver.lanes_rti import _supports, make_lanes_rti_solver
+
+    if _supports(settings):
+        # built EAGERLY (outside any trace): the kernels' static-model
+        # extraction needs concrete arrays
+        _f = make_lanes_rti_solver(model, info, settings, Q, R)
+    else:
+        _f = partial(batched_sqp_solve, model, info, settings, Q, R)
 
     # Full-f32 matmuls: on TPU the bf16 dot default corrupts the stage-KKT
     # algebra (utils/precision.py; SCENARIOS_r04.json root cause).
@@ -73,6 +92,20 @@ def make_batched_solver(
     # P(("dcn", "ici")) for the two-level multi-host mesh in scaling.py)
     spec = axis_name if isinstance(axis_name, P) else P(axis_name)
     sharding = NamedSharding(mesh, spec)
+
+    if _supports(settings):
+        # The fused lane-layout path reshapes the GLOBAL batch axis into
+        # lane tiles, which GSPMD cannot repartition through the Mosaic
+        # custom calls; shard_map makes the per-device view explicit — each
+        # device runs the lanes solve on its local batch shard (the solve
+        # is batch-parallel, no collectives), which is also what the
+        # partitioner would have to discover anyway.
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the checker requires; the body is embarrassingly
+        # batch-parallel (no collectives), so the check adds nothing here
+        f = jax.shard_map(
+            f, mesh=mesh, in_specs=(spec,) * 5, out_specs=spec, check_vma=False
+        )
     return jax.jit(
         f,
         in_shardings=(sharding,) * 5,

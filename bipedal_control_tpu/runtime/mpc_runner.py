@@ -23,13 +23,22 @@ from ..utils.precision import default_matmul_precision
 from ..utils.timing import RepeatedTimer
 
 
-def capture_dq_from_state(cap, nj: int, x, x_ref):
+def capture_dq_from_state(cap, nj: int, x, x_ref, gait_table=None, t0=None):
     """(2, nj) swing-leg joint-reference offsets from the measured lateral
     error (config.loader.CaptureConfig semantics): rotate the world-frame
     base-position / CoM-velocity errors into the body frame by the measured
     yaw, form dq = sign * clip(kp e_y + kv edot_y, +-max_offset), and place
     it on each leg's hip-roll slot.  Pure jnp (jittable inside the fused
-    replan)."""
+    replan).
+
+    cap.touchdown_sync (with gait_table/t0 supplied): instead of the
+    instantaneous errors, each leg's (e_y, edot_y) are LIPM-propagated to
+    that leg's NEXT TOUCHDOWN (gait/mode_schedule.py
+    next_touchdown_per_leg — the LegLogic timing query):
+        e(dt) = e cosh(w dt) + (edot/w) sinh(w dt),  w = sqrt(g/z_ref)
+    so the bias steers the foot toward where the capture point will BE when
+    the foot lands, rather than chasing the intra-swing phase of a lateral
+    oscillation (the documented OpenLoong rocking-mode lead)."""
     yaw = x[9]
     s, c = jnp.sin(yaw), jnp.cos(yaw)
     pe = x[6:8] - x_ref[6:8]  # world base-position error
@@ -39,28 +48,49 @@ def capture_dq_from_state(cap, nj: int, x, x_ref):
     # soft deadband: capture is a recovery reflex — exactly zero in nominal
     # locomotion, full-gain beyond the threshold (CaptureConfig docstring)
     dz = lambda v, db: jnp.sign(v) * jnp.maximum(jnp.abs(v) - db, 0.0)
-    dq = cap.sign * jnp.clip(
-        cap.kp * dz(e_y, cap.pos_deadband) + cap.kv * dz(edot_y, cap.vel_deadband),
-        -cap.max_offset,
-        cap.max_offset,
-    )
+
+    def _dq(e, edot):
+        return cap.sign * jnp.clip(
+            cap.kp * dz(e, cap.pos_deadband) + cap.kv * dz(edot, cap.vel_deadband),
+            -cap.max_offset,
+            cap.max_offset,
+        )
+
+    if getattr(cap, "touchdown_sync", False) and gait_table is not None:
+        w = jnp.sqrt(9.81 / jnp.maximum(x_ref[8], 0.3))
+        # per-leg horizon to touchdown, capped at one swing's worth (past
+        # that the LIPM extrapolation is meaningless)
+        dt_td = jnp.clip(gait_table.next_touchdown_per_leg(t0) - t0, 0.0, 0.6)
+        ch, sh = jnp.cosh(w * dt_td), jnp.sinh(w * dt_td)  # (2,)
+        e_td = e_y * ch + (edot_y / w) * sh
+        edot_td = e_y * w * sh + edot_y * ch
+        dq_legs = _dq(e_td, edot_td)  # (2,)
+        z = jnp.zeros(nj, x.dtype)
+        return jnp.stack(
+            [z.at[cap.left_index].set(dq_legs[0]), z.at[cap.right_index].set(dq_legs[1])]
+        )
+    dq = _dq(e_y, edot_y)
     z = jnp.zeros(nj, x.dtype)
     return jnp.stack([z.at[cap.left_index].set(dq), z.at[cap.right_index].set(dq)])
 
 
 def make_capture_hook(cap, nj: int):
     """(dq_fn, decay) pair shared by the host fused replan and the on-device
-    batch loop.  dq_fn(target, t_nodes, x_obs) returns the (2, nj) swing
-    joint-reference offsets, or None when no captureStepping block is
-    configured (the hook traces out as dead code)."""
+    batch loop.  dq_fn(gait, target, t_nodes, x_obs) returns the (2, nj)
+    swing joint-reference offsets, or None when no captureStepping block is
+    configured (the hook traces out as dead code).  The gait table feeds
+    the touchdownSync timing query."""
 
-    def dq_fn(target, t_nodes, x_obs):
+    def dq_fn(gait, target, t_nodes, x_obs):
         if cap is None:
             return None
-        return capture_dq_from_state(cap, nj, x_obs, target.state_at(t_nodes[0]))
+        return capture_dq_from_state(
+            cap, nj, x_obs, target.state_at(t_nodes[0]), gait, t_nodes[0]
+        )
 
     decay = cap.decay if (cap is not None and cap.decay > 0) else None
-    return dq_fn, decay
+    ws = cap.weight_shift if (cap is not None and getattr(cap, "weight_shift", 0.0) > 0) else None
+    return dq_fn, decay, ws
 
 
 class MpcRunner:
@@ -137,7 +167,7 @@ class MpcRunner:
         from ..solver.sqp import warm_start_trajectories
 
         cap = getattr(iface.task, "capture", None)
-        _capture_dq, decay = make_capture_hook(cap, info.nj)
+        _capture_dq, decay, wshift = make_capture_hook(cap, info.nj)
 
         # Full-f32 matmuls: on TPU the bf16 dot default degrades the stage-KKT
         # and physics algebra (utils/precision.py; SCENARIOS_r04.json sweep).
@@ -146,16 +176,16 @@ class MpcRunner:
         @jax.jit
         def _replan_cold(gait, swing, target, t_nodes, x_init):
             with default_matmul_precision(_mm):
-                dq = _capture_dq(target, t_nodes, x_init)
-                refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
+                dq = _capture_dq(gait, target, t_nodes, x_init)
+                refs = build_refs(info, gait, swing, target, t_nodes, dq, decay, wshift)
                 xs, us = initial_trajectory(info, refs, x_init, num_nodes)
                 return _solve(refs, t_nodes, x_init, xs, us)
 
         @jax.jit
         def _replan_warm(gait, swing, target, t_nodes, x_init, prev_t, prev_xs, prev_us):
             with default_matmul_precision(_mm):
-                dq = _capture_dq(target, t_nodes, x_init)
-                refs = build_refs(info, gait, swing, target, t_nodes, dq, decay)
+                dq = _capture_dq(gait, target, t_nodes, x_init)
+                refs = build_refs(info, gait, swing, target, t_nodes, dq, decay, wshift)
                 xs, us = warm_start_trajectories(prev_t, prev_xs, prev_us, t_nodes)
                 return _solve(refs, t_nodes, x_init, xs, us)
 

@@ -151,7 +151,7 @@ def make_batched_closed_loop(
     from ..runtime.mpc_runner import make_capture_hook
 
     cap = getattr(iface.task, "capture", None)
-    _cap_dq, cap_decay = make_capture_hook(cap, info.nj)
+    _cap_dq, cap_decay, cap_wshift = make_capture_hook(cap, info.nj)
 
     n_ticks = int(round(cfg.replan_dt / cfg.control_dt))
     n_sub = max(1, int(round(cfg.control_dt / cfg.sim.dt)))
@@ -206,7 +206,8 @@ def make_batched_closed_loop(
         x_obs0 = obs(sim)
         tgt0 = retarget(0.0, x_obs0) if retarget is not None else target_t
         refs0 = build_refs(
-            info, gait_t, swing_t, tgt0, t_nodes0, _cap_dq(tgt0, t_nodes0, x_obs0), cap_decay
+            info, gait_t, swing_t, tgt0, t_nodes0,
+            _cap_dq(gait_t, tgt0, t_nodes0, x_obs0), cap_decay, cap_wshift,
         )
         xs0, us0 = initial_trajectory(info, refs0, x_obs0, N1)
         sol0 = sqp_solve(model, info, settings, Q, R, refs0, t_nodes0, x_obs0, xs0, us0)
@@ -218,7 +219,8 @@ def make_batched_closed_loop(
             x_obs = obs(sim_state)
             tgt = retarget(t0, x_obs) if retarget is not None else target_t
             refs = build_refs(
-                info, gait_t, swing_t, tgt, t_nodes, _cap_dq(tgt, t_nodes, x_obs), cap_decay
+                info, gait_t, swing_t, tgt, t_nodes,
+                _cap_dq(gait_t, tgt, t_nodes, x_obs), cap_decay, cap_wshift,
             )
             # re-align the previous solution onto the shifted grid (the host
             # path's warm_start_from_solution; without it every node's warm

@@ -387,7 +387,8 @@ def sqp_solve(
 
 
 def build_refs(info: CentroidalModelInfo, gait_table, swing_table, target_table, t_nodes,
-               dq_swing=None, dq_decay: float | None = None):
+               dq_swing=None, dq_decay: float | None = None,
+               weight_shift: float | None = None):
     """Stacked NodeRefs for each interval (vmap over node times).
 
     dq_swing: optional (2, nj) joint-reference offsets (row 0 = left leg,
@@ -398,20 +399,34 @@ def build_refs(info: CentroidalModelInfo, gait_table, swing_table, target_table,
     dq_decay: optional time constant [s]; the offset decays exp(-(t-t0)/tau)
     along the horizon, so only the imminent touchdown is steered by the
     *current* error — a constant offset a full horizon ahead over-corrects
-    errors that will be gone by then (measured limit cycle on OpenLoong)."""
+    errors that will be gone by then (measured limit cycle on OpenLoong).
+    weight_shift: optional amplitude [m] of a PHASE-LOCKED base-y reference
+    offset toward the single-support stance foot (CaptureConfig
+    weightShift): each node's base-xy reference moves laterally over the
+    foot that carries the robot in that node's mode, pre-loading the
+    lateral CoM transfer the gait needs instead of leaving it to feedback
+    (the documented OpenLoong weight-shift lead)."""
     dts = t_nodes[1:] - t_nodes[:-1]
     t0 = t_nodes[0]
 
     def mk(t, dt):
         r = make_node_refs(info, gait_table, swing_table, target_table, t, dt)
+        f = r.contact_flags  # [l_toe, l_heel, r_toe, r_heel]
         if dq_swing is not None:
-            f = r.contact_flags  # [l_toe, l_heel, r_toe, r_heel]
             left_swing = 1.0 - jnp.maximum(f[0], f[1])
             right_swing = 1.0 - jnp.maximum(f[2], f[3])
             scale = 1.0 if dq_decay is None else jnp.exp(-jnp.maximum(t - t0, 0.0) / dq_decay)
             x_nom = r.x_nom.at[12:].add(
                 scale * (left_swing * dq_swing[0] + right_swing * dq_swing[1])
             )
+            r = r._replace(x_nom=x_nom)
+        if weight_shift is not None:
+            # +1 left single support, -1 right, 0 double/flight; body +y is
+            # toward the left foot, rotated to world by the node's yaw ref
+            side = jnp.maximum(f[0], f[1]) - jnp.maximum(f[2], f[3])
+            yaw = r.x_nom[9]
+            dy = weight_shift * side
+            x_nom = r.x_nom.at[6].add(-jnp.sin(yaw) * dy).at[7].add(jnp.cos(yaw) * dy)
             r = r._replace(x_nom=x_nom)
         return r
 
