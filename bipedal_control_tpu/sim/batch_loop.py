@@ -77,14 +77,26 @@ class BatchLoopResult(NamedTuple):
 
 def make_batched_closed_loop(
     iface: RobotInterface, cfg: BatchLoopConfig, wbc_cfg=None, gait: str | None = None,
-    gait_at: float = 0.1, cmd_vel=None,
+    gait_at: float = 0.1, cmd_vel=None, cmd_vel_ki: float = 0.0,
 ):
     """Build the jitted episode function: (x0_batch (B, nx)) -> BatchLoopResult.
 
     The reference tables are frozen on the host over [0, duration+horizon]
     at build time (stance/constant-gait episodes use them as-is; periodic
     gaits — pass ``gait`` to splice one in at ``gait_at`` — tile within the
-    window, so the on-device cascade *steps*)."""
+    window, so the on-device cascade *steps*).
+
+    cmd_vel_ki: the host CmdVelFollower's forward-velocity-integral trim
+    (reference/target.py), ported into the scan: per-lane trim integrated
+    at the replan cadence, clamped to |cmd_vx|.  DEFAULT OFF (0.0) — the
+    cascade retargets every REPLAN (20 ms) where the host retargets every
+    250 ms, so the host's ki=1.2 is a ~12x hotter loop here, and the
+    measured effect on the scenario axis is NET NEGATIVE: progressed_frac
+    rises (0.57 -> 0.59-0.72) but upright_frac collapses
+    (0.78 -> 0.42-0.61 across jitter scales, chip B=64/256 sweeps
+    2026-08-22) — jittered robots get pushed harder and fall.  The
+    progression deficit under jitter remains an open lead; a
+    cadence-matched (slower) trim was not tried."""
     from ..runtime.controller import wbc_config_from_task
 
     model, info, settings = iface.model, iface.info, iface.settings
@@ -119,9 +131,23 @@ def make_batched_closed_loop(
         nx, nu = info.state_dim, info.input_dim
         reach = ccfg.target_reaching_duration
 
-        def retarget(t0, x_obs):
+        # ki=0 disables the trim entirely (clamp collapses to 0)
+        trim_lim = abs(float(np.asarray(cmd_vel)[0])) if cmd_vel_ki else 0.0
+
+        def trim_update(trim, x_obs):
+            # host CmdVelFollower trim integrator at the replan cadence:
+            # forward-velocity error integrated with ki, clamped to |cmd_vx|
+            yaw = x_obs[9]
+            v_fwd = jnp.cos(yaw) * x_obs[0] + jnp.sin(yaw) * x_obs[1]
+            return jnp.clip(
+                trim + cmd_vel_ki * (cmd[0] - v_fwd) * cfg.replan_dt,
+                -trim_lim, trim_lim,
+            )
+
+        def retarget(t0, x_obs, trim):
             pose = x_obs[6:12]
-            v_world = rotmat_from_zyx(pose[3:6]) @ cmd[:3]
+            cmd_eff = cmd.at[0].add(trim)
+            v_world = rotmat_from_zyx(pose[3:6]) @ cmd_eff[:3]
             pose_now = jnp.array(
                 [pose[0], pose[1], ccfg.com_height, pose[3], 0.0, 0.0]
             )
@@ -204,7 +230,7 @@ def make_batched_closed_loop(
         # first solve (cold start) at t=0, on the k=0 event-aligned grid
         t_nodes0 = grids[0]
         x_obs0 = obs(sim)
-        tgt0 = retarget(0.0, x_obs0) if retarget is not None else target_t
+        tgt0 = retarget(0.0, x_obs0, 0.0) if retarget is not None else target_t
         refs0 = build_refs(
             info, gait_t, swing_t, tgt0, t_nodes0,
             _cap_dq(gait_t, tgt0, t_nodes0, x_obs0), cap_decay, cap_wshift,
@@ -213,11 +239,15 @@ def make_batched_closed_loop(
         sol0 = sqp_solve(model, info, settings, Q, R, refs0, t_nodes0, x_obs0, xs0, us0)
 
         def replan_body(carry, k):
-            sim_state, fallen, t_nodes_prev, xs_prev, us_prev = carry
+            sim_state, fallen, trim, t_nodes_prev, xs_prev, us_prev = carry
             t0 = k * cfg.replan_dt
             t_nodes = grids[k]
             x_obs = obs(sim_state)
-            tgt = retarget(t0, x_obs) if retarget is not None else target_t
+            if retarget is not None:
+                trim = trim_update(trim, x_obs)
+                tgt = retarget(t0, x_obs, trim)
+            else:
+                tgt = target_t
             refs = build_refs(
                 info, gait_t, swing_t, tgt, t_nodes,
                 _cap_dq(gait_t, tgt, t_nodes, x_obs), cap_decay, cap_wshift,
@@ -267,16 +297,17 @@ def make_batched_closed_loop(
             (sim_state, fallen), metrics = jax.lax.scan(
                 tick_body, (sim_state, fallen), jnp.arange(n_ticks)
             )
-            return (sim_state, fallen, t_nodes, sol.x_traj, sol.u_traj), (
+            return (sim_state, fallen, trim, t_nodes, sol.x_traj, sol.u_traj), (
                 metrics[:, 0].min(),
                 metrics[:, 1].max(),
                 sol.defect_norm,
             )
 
         fallen0 = jnp.asarray(False)
-        (sim, fell, _, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
+        trim0 = jnp.asarray(0.0, x0.dtype)
+        (sim, fell, _, _, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
             replan_body,
-            (sim, fallen0, t_nodes0, sol0.x_traj, sol0.u_traj),
+            (sim, fallen0, trim0, t_nodes0, sol0.x_traj, sol0.u_traj),
             jnp.arange(n_replans),
         )
         return sim, zmins.min(), tiltmaxs.max(), defects[-1], fell

@@ -41,7 +41,9 @@ default single-pass-bf16 dot lowering the factor QR chain collapses — and
 divergence pollutes the whole lane.  With both (the framework defaults
 since round 5), randomized-walking survival at standard jitter is 0.625 vs
 the sequential backend's 0.531 (B=64, chip, SCENARIOS_r05.json
-riccati_backend row).  With W = U1^T Z2
+riccati_backend row).  Known limit: at cascade batch 256 the episode
+crashes the TPU worker (libtpu 0.0.34 kernel fault, reproduced twice —
+SCENARIOS_r05 psqrt_b256_caveat); validated at B<=64.  With W = U1^T Z2
 and the push-through identity,
 
     (I + C1 J2)^{-1} C1 = U1 (I + W W^T)^{-1} U1^T

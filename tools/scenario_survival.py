@@ -94,7 +94,7 @@ def main():
     run = jax.jit(
         make_batched_closed_loop(
             iface, BatchLoopConfig(duration=duration), gait="trot", gait_at=0.2,
-            cmd_vel=cmd,
+            cmd_vel=cmd, cmd_vel_ki=float(os.environ.get("SURV_CMD_KI", "0.0")),
         )
     )
 
