@@ -175,11 +175,12 @@ def main():
     # one transient rejection), and the device p99 drops ~3.8x
     # (LATENCY_r02: 7.16 ms -> 1.87 ms at identical defect).
     # BENCH_ALPHAS=none selects the pure full-step RTI (no merit pass at
-    # all — solver/sqp.py empty-alphas mode).  Measured on the chip: NO
-    # throughput gain at B=256 (26.5k either way — XLA overlaps the merit
-    # pass with the next stage), identical defect; kept as a deployment
-    # option, not the default (the filter's step cap is what absorbs big
-    # reference discontinuities, see OcpSettings.linesearch_alphas).
+    # all — solver/sqp.py empty-alphas mode).  On the round-5 fused lanes
+    # path the merit pass is no longer hidden behind layout glue: none
+    # measures +12% (34.6k vs 31.0k at B=256, defect 8.3e-6).  Still a
+    # deployment option rather than the default: the filter's step cap is
+    # what absorbs big reference discontinuities (the measured walk->stop
+    # failure, see OcpSettings.linesearch_alphas).
     _alpha_env = os.environ.get("BENCH_ALPHAS", "1.0")
     alphas = (
         ()
@@ -225,7 +226,10 @@ def main():
 
     # ---- batched throughput (one real-time-iteration solve per scenario)
     solver = make_batched_solver(
-        iface.model, iface.info, settings, iface.Q, iface.R, donate_warm_start=False
+        iface.model, iface.info, settings, iface.Q, iface.R,
+        # donating the warm-start buffers saves an output copy per step
+        # (+6.6% measured at B=256); BENCH_DONATE=0 restores the r04 mode
+        donate_warm_start=os.environ.get("BENCH_DONATE", "1") != "0",
     )
     tile = lambda a: jnp.broadcast_to(a[None], (BATCH,) + a.shape).copy()
     refs_b = jax.tree.map(tile, refs)
@@ -385,7 +389,7 @@ def main():
             iface_g1 = make_interface_for("g1")
             settings_g1 = _dc.replace(
                 iface_g1.settings, sqp_iterations=1, linesearch_alphas=alphas,
-                riccati=riccati, merit=merit,
+                riccati=riccati, merit=merit, linearize=linearize,
             )
             extras["g1_solves_per_s"] = round(_throughput(iface_g1, settings_g1, "trot"), 2)
         except Exception as e:  # noqa: BLE001
