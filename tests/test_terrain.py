@@ -216,3 +216,26 @@ def test_h1_walks_up_step(tmp_path):
     # climbed: both past the step edge (x=0.5) and standing ON it
     assert pos[0] > 0.8, pos
     assert pos[2] > 0.9 + step_h - 0.03, pos  # base height rode the terrain
+
+
+def test_swing_apex_over_max_height():
+    """SwingConfig.apex_over_max_height: stepping UP a riser, the apex sits
+    swingHeight above the HIGHER surface (the reference's min() formula —
+    faithful on flat ground where it was only ever run — leaves only
+    swingHeight - dh of clearance and the toe strikes the riser edge)."""
+    from bipedal_control_tpu.gait.mode_schedule import ModeSchedule
+    from bipedal_control_tpu.gait.swing import SwingConfig, plan_swing_table
+
+    sched = ModeSchedule([0.3, 0.65], [3, 2, 3])  # left swings in RF
+    lift = np.zeros((4, 3))
+    touch = np.zeros((4, 3))
+    touch[0, :] = 0.06  # left toe lands on a 6 cm step
+    mk = lambda **kw: plan_swing_table(
+        SwingConfig(swing_height=0.08, swing_time_scale=0.15, **kw),
+        sched, 8, lift_off_heights=lift, touch_down_heights=touch,
+    )
+    t_mid = 0.475  # swing midpoint (apex)
+    z_min = float(mk().z_position(0, 1, t_mid))
+    z_max = float(mk(apex_over_max_height=True).z_position(0, 1, t_mid))
+    assert abs(z_min - (0.0 + 0.08)) < 1e-9  # reference formula: min + h
+    assert abs(z_max - (0.06 + 0.08)) < 1e-9  # terrain mode: max + h

@@ -44,7 +44,8 @@ def main():
     batch = int(os.environ.get("SURV_BATCH", "64"))
     duration = float(os.environ.get("SURV_DURATION", "3.0"))
     scales = [float(s) for s in os.environ.get("SURV_SCALES", "0.5,1.0,1.5,2.0").split(",")]
-    cmd = (0.3, 0.0, 0.0, 0.0)
+    cmd = (float(os.environ.get("SURV_CMD", "0.3")), 0.0, 0.0, 0.0)
+    gait_name = os.environ.get("SURV_GAIT", "trot")
 
     # optional KKT regularization override for f32-robustness sweeps
     if os.environ.get("SURV_REGS"):
@@ -93,16 +94,22 @@ def main():
             )
     run = jax.jit(
         make_batched_closed_loop(
-            iface, BatchLoopConfig(duration=duration), gait="trot", gait_at=0.2,
+            iface, BatchLoopConfig(duration=duration), gait=gait_name, gait_at=0.2,
             cmd_vel=cmd, cmd_vel_ki=float(os.environ.get("SURV_CMD_KI", "0.0")),
         )
     )
 
     from bipedal_control_tpu.utils.precision import matmul_precision
 
+    # survival thresholds scale with the robot: upright = z above ~82% of
+    # the commanded CoM height (H1: 0.98 -> 0.80, matching the historical
+    # hardcoded floor), tilt < 0.8, progress > 30% of commanded distance
+    z_floor = 0.82 * float(iface.task.com_height)
     out = {
         "metric": "randomized_walking_survival",
-        "robot": "h1",
+        "robot": iface.task and os.environ.get("SURV_ROBOT", "h1"),
+        "gait": gait_name,
+        "z_floor": round(z_floor, 3),
         "batch": batch,
         "duration_s": duration,
         "cmd_vel": cmd[0],
@@ -125,7 +132,7 @@ def main():
         finite = np.isfinite(q[:, 0]) & np.isfinite(q[:, 2])
         # fallen scenarios can blow up numerically; treat non-finite as dead
         # and keep the means over finite runs only
-        upright = finite & (np.nan_to_num(q[:, 2]) > 0.8) & (
+        upright = finite & (np.nan_to_num(q[:, 2]) > z_floor) & (
             np.nan_to_num(np.asarray(res.tilt_max), nan=np.inf) < 0.8
         )
         progressed = finite & (np.nan_to_num(q[:, 0]) > progress_min)
