@@ -38,6 +38,13 @@ class DdpConfig:
     constraint_penalty: float = 20.0  # ddp.constraintPenaltyInitialValue
     penalty_increase_rate: float = 2.0  # ddp.constraintPenaltyIncreaseRate
     min_step_length: float = 1e-2  # ddp.lineSearch.minStepLength
+    # ddp.strategy: LINE_SEARCH or LEVENBERG_MARQUARDT (solver/ddp.py
+    # DdpSettings.strategy — LM adapts the Quu shift instead of the step)
+    strategy: str = "line_search"
+    # ddp.minRelCost: relative merit-improvement termination threshold
+    # (DdpSettings.min_rel_cost; opt-in — the RTI replan path runs small
+    # fixed iteration counts where early freeze is moot)
+    min_rel_cost: float = 0.0
 
 
 @dataclasses.dataclass
@@ -305,6 +312,8 @@ def load_task_config(
         constraint_penalty=info.get_scalar(t, "ddp.constraintPenaltyInitialValue", 20.0),
         penalty_increase_rate=info.get_scalar(t, "ddp.constraintPenaltyIncreaseRate", 2.0),
         min_step_length=info.get_scalar(t, "ddp.lineSearch.minStepLength", 1e-2),
+        strategy=info.get_string(t, "ddp.strategy", "LINE_SEARCH").lower(),
+        min_rel_cost=info.get_scalar(t, "ddp.minRelCost", 0.0),
     )
     wbc = WbcConfig(
         torque_limits=info.get_matrix(t, "torqueLimitsTask", max(nj // 2, 1)),

@@ -142,6 +142,11 @@ class MpcRunner:
                     ddp_penalty if ddp_penalty is not None else max(c.constraint_penalty, 100.0)
                 ),
                 penalty_increase_rate=float(c.penalty_increase_rate),
+                # ddp.strategy flows through (LINE_SEARCH in every shipped
+                # task.info, so this is behavior-preserving); minRelCost is
+                # opt-in via DdpSettings — the rolling-loop tests pin the
+                # fixed-iteration behavior
+                strategy=c.strategy,
             )
 
             @jax.jit

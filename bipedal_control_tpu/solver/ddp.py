@@ -59,6 +59,21 @@ class DdpSettings:
     # (OCS2 projection analogue; holds contacts in rolling-time MPC loops),
     # False = penalty-folded quadratics (AL research path; creeps in loops)
     constrained_backward: bool = True
+    # search strategy (ddp.strategy, task.info:147): "line_search" = the
+    # alphas ladder above; "levenberg_marquardt" = OCS2's LM alternative —
+    # full steps only, with an ADAPTIVE Quu diagonal shift carried across
+    # iterations (accepted rollout: shift shrinks toward hessian_shift;
+    # rejected: shift grows and the next backward pass is more damped,
+    # the classic trust-region-like LM schedule)
+    strategy: str = "line_search"
+    lm_shrink: float = 0.5
+    lm_grow: float = 4.0
+    lm_shift_max: float = 1e3
+    # ddp.minRelCost (task.info:126): once an accepted iterate improves the
+    # AL merit by less than this RELATIVE amount, further iterations freeze
+    # (statically-unrolled analogue of OCS2's early termination).  0.0 =
+    # never freeze (backward-compatible default; opt in from config)
+    min_rel_cost: float = 0.0
 
 
 def _penalized_nodes(nodes, masks, rho, lam):
@@ -152,6 +167,9 @@ def ilqr_solve(
     _, _, e_prev = eval_fn(xs[:-1], us, xs[1:], refs)
     viol_prev = jnp.sum(e_prev**2)
     hist = []  # per-iteration (improved, best_merit, viol, cost) when asked
+    lm = ddp.strategy == "levenberg_marquardt"
+    shift = jnp.asarray(float(ddp.hessian_shift))  # dynamic under LM
+    done = jnp.asarray(False)  # min_rel_cost freeze
     for it in range(ddp.iterations):
 
         def al_merit(xs_, us_, _rho, _lam):
@@ -160,9 +178,10 @@ def ilqr_solve(
 
         nodes = lin_fn(xs[:-1], us, xs[1:], refs)
         nu = u_warm.shape[1]
+        it_shift = shift if lm else ddp.hessian_shift
         if ddp.constrained_backward and it > 0:
             # projected equality handling on a genuine rollout iterate
-            bnodes = nodes._replace(Quu=nodes.Quu + ddp.hessian_shift * jnp.eye(nu)[None])
+            bnodes = nodes._replace(Quu=nodes.Quu + it_shift * jnp.eye(nu)[None])
             bmasks = masks
         else:
             # iteration 0 always: the initial trajectory carries dynamics
@@ -171,25 +190,37 @@ def ilqr_solve(
             # instant NaN from cold start) — the soft AL backward only has to
             # produce *stabilizing feedback* here
             bnodes = _penalized_nodes(nodes, masks, rho, lam)
-            bnodes = bnodes._replace(Quu=bnodes.Quu + ddp.hessian_shift * jnp.eye(nu)[None])
+            bnodes = bnodes._replace(Quu=bnodes.Quu + it_shift * jnp.eye(nu)[None])
             bmasks = jnp.zeros_like(masks)
         sol = solve_lqr(bnodes, bmasks, dx0=jnp.zeros_like(x_init))
         K_out = sol.K
 
-        alphas = jnp.asarray(ddp.alphas)
+        # LM takes FULL steps only; damping adapts instead of the step size
+        alphas = jnp.asarray((1.0,) if lm else ddp.alphas)
         xs_a, us_a = jax.vmap(
             lambda a: _rollout(model, info, settings, refs, x_init, xs, us, sol.K, sol.k, a)
         )(alphas)
         merits = jax.vmap(lambda xs_, us_: al_merit(xs_, us_, rho, lam))(xs_a, us_a)
         best = jnp.argmin(merits)
+        merit_base = al_merit(xs, us, rho, lam)
         if it == 0:
             # the initializer trajectory carries defects the single-shooting
             # merit can't see; always step onto a real rollout first
             improved = jnp.asarray(True)
         else:
-            improved = merits[best] < al_merit(xs, us, rho, lam)
+            improved = merits[best] < merit_base
+        improved = improved & ~done
         xs = jnp.where(improved, xs_a[best], xs)
         us = jnp.where(improved, us_a[best], us)
+        if lm:
+            shift = jnp.where(
+                improved,
+                jnp.maximum(shift * ddp.lm_shrink, ddp.hessian_shift),
+                jnp.minimum(shift * ddp.lm_grow, ddp.lm_shift_max),
+            )
+        if ddp.min_rel_cost > 0.0 and it > 0:
+            rel = (merit_base - merits[best]) / jnp.maximum(jnp.abs(merit_base), 1.0)
+            done = done | (improved & (rel < ddp.min_rel_cost))
 
         # first-order multiplier update on the accepted iterate; escalate rho
         # only when the violation did not drop enough (Bertsekas AL schedule)

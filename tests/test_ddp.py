@@ -176,3 +176,97 @@ def test_ilqr_rolling_mpc_loop():
     # bounded tail-sag equilibrium deepens with the per-replan shift: ~0.76
     # at 50 Hz replans, ~0.52 at the 25 Hz used here
     assert float(mpc.last_solution.x_traj[-1, 8]) > 0.4
+
+
+def test_ilqr_levenberg_marquardt_strategy():
+    """ddp.strategy LEVENBERG_MARQUARDT (VERDICT r4 missing #3 depth): full
+    steps with an adaptive Quu shift instead of the alphas ladder.  From the
+    same warm start it must reach a solution of the same quality as the
+    line-search strategy (single-shooting defect identically ~0, eq-norm
+    and cost within a few percent), and the config plumbing must carry
+    ddp.strategy + ddp.minRelCost through the .info loader."""
+    import os
+
+    from conftest import REFERENCE_ASSETS
+    from bipedal_control_tpu.interface import make_interface_for
+    from bipedal_control_tpu.solver import build_refs, initial_trajectory, sqp_solve
+    from bipedal_control_tpu.solver.ddp import DdpSettings, ilqr_solve
+
+    iface = make_interface_for("h1")
+    settings = dataclasses.replace(iface.settings, sqp_iterations=1)
+    rm = iface.make_reference_manager()
+    x0 = jnp.asarray(iface.initial_state)
+    frozen = rm.freeze(0.0)
+    t_nodes = jnp.asarray(frozen.t_nodes)
+    refs = build_refs(iface.info, frozen.gait, frozen.swing, frozen.target, t_nodes)
+    xs, us = initial_trajectory(iface.info, refs, x0, settings.num_intervals + 1)
+    sqp = jax.jit(
+        lambda refs, t, x, xs, us: sqp_solve(
+            iface.model, iface.info, settings, iface.Q, iface.R, refs, t, x, xs, us
+        )
+    )
+    for _ in range(5):
+        s = sqp(refs, t_nodes, x0, xs, us)
+        xs, us = s.x_traj, s.u_traj
+
+    def run(strategy, **kw):
+        return jax.jit(
+            lambda refs, t, x, us: ilqr_solve(
+                iface.model, iface.info, settings,
+                DdpSettings(
+                    iterations=4, constraint_penalty=100.0,
+                    penalty_increase_rate=1.0, strategy=strategy, **kw,
+                ),
+                iface.Q, iface.R, refs, t, x, us,
+            )
+        )(refs, t_nodes, x0, us)
+
+    ls = run("line_search")
+    lm = run("levenberg_marquardt")
+    assert float(lm.defect_norm) < 1e-8
+    assert float(lm.eq_norm) < 5.0, float(lm.eq_norm)
+    assert float(lm.cost) < 1.05 * float(ls.cost) + 1e-6, (
+        float(lm.cost), float(ls.cost),
+    )
+    base = np.asarray(lm.x_traj[:, 6:12])
+    np.testing.assert_allclose(base[:, 2], 0.93, atol=0.05)
+
+    # min_rel_cost freeze: the iterate that makes the sub-threshold
+    # improvement is kept (OCS2 termination semantics), so a huge threshold
+    # freezes after iteration 1's accepted step — the 4-iteration run
+    # equals a plain 2-iteration run
+    one = jax.jit(
+        lambda refs, t, x, us: ilqr_solve(
+            iface.model, iface.info, settings,
+            DdpSettings(iterations=2, constraint_penalty=100.0,
+                        penalty_increase_rate=1.0),
+            iface.Q, iface.R, refs, t, x, us,
+        )
+    )(refs, t_nodes, x0, us)
+    frozen_run = jax.jit(
+        lambda refs, t, x, us: ilqr_solve(
+            iface.model, iface.info, settings,
+            DdpSettings(iterations=4, constraint_penalty=100.0,
+                        penalty_increase_rate=1.0, min_rel_cost=1e9),
+            iface.Q, iface.R, refs, t, x, us,
+        )
+    )(refs, t_nodes, x0, us)
+    np.testing.assert_allclose(
+        np.asarray(frozen_run.u_traj), np.asarray(one.u_traj), atol=1e-10
+    )
+
+    # loader plumbing
+    from bipedal_control_tpu.config.loader import load_task_config
+
+    task = os.path.join(
+        REFERENCE_ASSETS,
+        "bipedal_robot_example/unitree_h1/h1_ocs2_config/config/task/task.info",
+    )
+    ref = os.path.join(
+        REFERENCE_ASSETS,
+        "bipedal_robot_example/unitree_h1/h1_ocs2_config/config/command/reference.info",
+    )
+    if os.path.exists(task):
+        cfg = load_task_config(task, ref)
+        assert cfg.ddp.strategy == "line_search"  # task.info:147
+        assert cfg.ddp.min_rel_cost == pytest.approx(0.1)  # task.info minRelCost 1e-1
