@@ -78,6 +78,8 @@ class BatchLoopResult(NamedTuple):
 def make_batched_closed_loop(
     iface: RobotInterface, cfg: BatchLoopConfig, wbc_cfg=None, gait: str | None = None,
     gait_at: float = 0.1, cmd_vel=None, cmd_vel_ki: float = 0.0,
+    cmd_vel_kyaw: float = 0.0, cmd_vel_yaw_delay: float = 2.0,
+    yaw_rate_max: float = 0.5,
 ):
     """Build the jitted episode function: (x0_batch (B, nx)) -> BatchLoopResult.
 
@@ -96,7 +98,17 @@ def make_batched_closed_loop(
     (0.78 -> 0.42-0.61 across jitter scales, chip B=64/256 sweeps
     2026-08-22) — jittered robots get pushed harder and fall.  The
     progression deficit under jitter remains an open lead; a
-    cadence-matched (slower) trim was not tried."""
+    cadence-matched (slower) trim was not tried.
+
+    cmd_vel_kyaw: the host CmdVelFollower heading hold ported into the
+    scan (per-observation retargeting re-anchors the yaw reference at the
+    measured yaw every replan, so heading performs a random walk and the
+    world path curves — the documented OpenLoong drift mechanism): a
+    scan-carried yaw reference integrates yaw_ref += cmd_yaw * replan_dt
+    from the heading measured at engage time (cmd_vel_yaw_delay — engaging
+    during the gait-start transient tips marginal robots, the host
+    finding), and the commanded yaw rate is corrected by
+    clip(kyaw * wrap(yaw_ref - yaw), +-yaw_rate_max).  Default off."""
     from ..runtime.controller import wbc_config_from_task
 
     model, info, settings = iface.model, iface.info, iface.settings
@@ -144,9 +156,26 @@ def make_batched_closed_loop(
                 -trim_lim, trim_lim,
             )
 
-        def retarget(t0, x_obs, trim):
+        def yaw_hold(t0, x_obs, yaw_ref, engaged):
+            """(yaw_ref', engaged', yaw_rate_correction) — dead (zeros)
+            when cmd_vel_kyaw == 0."""
+            if not cmd_vel_kyaw:
+                return yaw_ref, engaged, 0.0
+            yaw = x_obs[9]
+            on = t0 >= cmd_vel_yaw_delay
+            # first engaged replan anchors the reference at the MEASURED yaw
+            yaw_ref = jnp.where(
+                on & ~engaged, yaw, yaw_ref + jnp.where(engaged, cmd[3] * cfg.replan_dt, 0.0)
+            )
+            err = (yaw_ref - yaw + jnp.pi) % (2 * jnp.pi) - jnp.pi
+            corr = jnp.where(
+                on, jnp.clip(cmd_vel_kyaw * err, -yaw_rate_max, yaw_rate_max), 0.0
+            )
+            return yaw_ref, on, corr
+
+        def retarget(t0, x_obs, trim, yaw_corr=0.0):
             pose = x_obs[6:12]
-            cmd_eff = cmd.at[0].add(trim)
+            cmd_eff = cmd.at[0].add(trim).at[3].add(yaw_corr)
             v_world = rotmat_from_zyx(pose[3:6]) @ cmd_eff[:3]
             pose_now = jnp.array(
                 [pose[0], pose[1], ccfg.com_height, pose[3], 0.0, 0.0]
@@ -156,7 +185,7 @@ def make_batched_closed_loop(
                     pose[0] + v_world[0] * reach,
                     pose[1] + v_world[1] * reach,
                     ccfg.com_height,
-                    pose[3] + cmd[3] * reach,
+                    pose[3] + cmd_eff[3] * reach,
                     0.0,
                     0.0,
                 ]
@@ -239,13 +268,14 @@ def make_batched_closed_loop(
         sol0 = sqp_solve(model, info, settings, Q, R, refs0, t_nodes0, x_obs0, xs0, us0)
 
         def replan_body(carry, k):
-            sim_state, fallen, trim, t_nodes_prev, xs_prev, us_prev = carry
+            sim_state, fallen, trim, yaw_ref, engaged, t_nodes_prev, xs_prev, us_prev = carry
             t0 = k * cfg.replan_dt
             t_nodes = grids[k]
             x_obs = obs(sim_state)
             if retarget is not None:
                 trim = trim_update(trim, x_obs)
-                tgt = retarget(t0, x_obs, trim)
+                yaw_ref, engaged, yaw_corr = yaw_hold(t0, x_obs, yaw_ref, engaged)
+                tgt = retarget(t0, x_obs, trim, yaw_corr)
             else:
                 tgt = target_t
             refs = build_refs(
@@ -297,7 +327,10 @@ def make_batched_closed_loop(
             (sim_state, fallen), metrics = jax.lax.scan(
                 tick_body, (sim_state, fallen), jnp.arange(n_ticks)
             )
-            return (sim_state, fallen, trim, t_nodes, sol.x_traj, sol.u_traj), (
+            return (
+                sim_state, fallen, trim, yaw_ref, engaged, t_nodes,
+                sol.x_traj, sol.u_traj,
+            ), (
                 metrics[:, 0].min(),
                 metrics[:, 1].max(),
                 sol.defect_norm,
@@ -305,9 +338,11 @@ def make_batched_closed_loop(
 
         fallen0 = jnp.asarray(False)
         trim0 = jnp.asarray(0.0, x0.dtype)
-        (sim, fell, _, _, _, _), (zmins, tiltmaxs, defects) = jax.lax.scan(
+        yaw_ref0 = jnp.asarray(0.0, x0.dtype)
+        engaged0 = jnp.asarray(False)
+        (sim, fell, *_), (zmins, tiltmaxs, defects) = jax.lax.scan(
             replan_body,
-            (sim, fallen0, trim0, t_nodes0, sol0.x_traj, sol0.u_traj),
+            (sim, fallen0, trim0, yaw_ref0, engaged0, t_nodes0, sol0.x_traj, sol0.u_traj),
             jnp.arange(n_replans),
         )
         return sim, zmins.min(), tiltmaxs.max(), defects[-1], fell

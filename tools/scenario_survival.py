@@ -96,6 +96,7 @@ def main():
         make_batched_closed_loop(
             iface, BatchLoopConfig(duration=duration), gait=gait_name, gait_at=0.2,
             cmd_vel=cmd, cmd_vel_ki=float(os.environ.get("SURV_CMD_KI", "0.0")),
+            cmd_vel_kyaw=float(os.environ.get("SURV_KYAW", "0.0")),
         )
     )
 
